@@ -1,0 +1,59 @@
+"""Objectives.
+
+* ``temporal_softmax_loss`` — custom/objectives.py:4-39.  NOTE the reference
+  feeds this the network's *softmax probabilities* and the loss applies its
+  own (max-subtracted) softmax again before the masked NLL; that double
+  softmax is reproduced here because training dynamics (and therefore
+  accuracy parity) depend on it.
+* ``categorical_crossentropy`` — Lasagne objectives on utterance-level
+  (slice) models: mean of -log p[y] over the batch.
+* ``squared_error`` — autoencoder reconstruction objective
+  (avletters/ae_finetuner.py, avletters/avletters_convae.py:258-261).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def temporal_softmax_loss(x: jnp.ndarray, y: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
+    """Masked per-timestep cross entropy, averaged over valid frames.
+
+    x: (N, T, V) scores (in practice: already-softmaxed probabilities —
+       reference quirk, see module docstring); y: (N, T) int labels;
+       mask: (N, T) 1 for valid frames.
+    """
+    N, T, V = x.shape
+    x_flat = x.reshape(N * T, V)
+    y_flat = y.reshape(N * T)
+    mask_flat = mask.reshape(N * T).astype(x.dtype)
+    total_frames = jnp.sum(mask_flat)
+    log_probs = jax.nn.log_softmax(x_flat, axis=1)
+    nll = -jnp.take_along_axis(log_probs, y_flat[:, None].astype(jnp.int32), axis=1)[:, 0]
+    return jnp.sum(mask_flat * nll) / total_frames
+
+
+def categorical_crossentropy(probs: jnp.ndarray, y: jnp.ndarray, eps: float = 0.0) -> jnp.ndarray:
+    """Mean -log(probs[y]) over the batch; ``probs`` are softmax outputs
+    (Lasagne categorical_crossentropy on a softmax layer)."""
+    p = jnp.take_along_axis(probs, y[:, None].astype(jnp.int32), axis=1)[:, 0]
+    if eps:
+        p = jnp.clip(p, eps, 1.0)
+    return -jnp.mean(jnp.log(p))
+
+
+def squared_error(pred: jnp.ndarray, target: jnp.ndarray) -> jnp.ndarray:
+    """Mean squared error (Lasagne squared_error().mean())."""
+    return jnp.mean((pred - target) ** 2)
+
+
+def l2_regularization(params, scale: float) -> jnp.ndarray:
+    """Sum of squared weights over 2D+ params (Lasagne regularize_network_params
+    with l2 penalizes weight matrices, not biases)."""
+    leaves = jax.tree_util.tree_leaves(params)
+    total = 0.0
+    for leaf in leaves:
+        if leaf.ndim >= 2:
+            total = total + jnp.sum(leaf ** 2)
+    return scale * total

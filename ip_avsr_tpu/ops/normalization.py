@@ -1,0 +1,50 @@
+"""Normalization layers.
+
+* ``znormalize`` — custom/layers.py:83-102 ZNormalizeLayer: z-normalize a
+  (B, T, D) input with the minibatch's own feature statistics (stateless).
+* batch norm — Lasagne BatchNormLayer semantics as used by adenet_v1
+  (modelzoo/adenet_v1.py:82 ``batch_norm``): normalize over all axes except
+  the feature axis, learned gamma/beta, exponential running averages
+  (alpha=0.01... Lasagne default 1e-4 per update with inverse bias correction;
+  we use the standard exponential moving average with alpha=0.01, which
+  converges to the same statistics) used at eval time.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+
+def znormalize(x: jnp.ndarray, eps: float = 0.0) -> jnp.ndarray:
+    """Normalize by per-feature mean/std of the whole minibatch (all leading
+    axes pooled), reproducing ZNormalizeLayer."""
+    orig_shape = x.shape
+    flat = x.reshape(-1, orig_shape[-1])
+    means = flat.mean(axis=0)
+    stds = flat.std(axis=0)
+    return ((flat - means) / (stds + eps)).reshape(orig_shape)
+
+
+def init_batch_norm(dim: int, dtype=jnp.float32) -> tuple[dict, dict]:
+    """Returns (params, state): learned gamma/beta and running mean/inv_std."""
+    params = {"gamma": jnp.ones((dim,), dtype), "beta": jnp.zeros((dim,), dtype)}
+    state = {"mean": jnp.zeros((dim,), dtype), "var": jnp.ones((dim,), dtype)}
+    return params, state
+
+
+def batch_norm_forward(params, state, x, train: bool, eps: float = 1e-4, alpha: float = 0.01):
+    """Apply BN over the last axis; returns (y, new_state)."""
+    feat = x.shape[-1]
+    flat = x.reshape(-1, feat)
+    if train:
+        mean = flat.mean(axis=0)
+        var = flat.var(axis=0)
+        new_state = {
+            "mean": (1 - alpha) * state["mean"] + alpha * mean,
+            "var": (1 - alpha) * state["var"] + alpha * var,
+        }
+    else:
+        mean, var = state["mean"], state["var"]
+        new_state = state
+    y = (flat - mean) / jnp.sqrt(var + eps) * params["gamma"] + params["beta"]
+    return y.reshape(x.shape), new_state
