@@ -1,0 +1,102 @@
+"""Inference demo: batch-1 forward through a trained model (the serve path).
+
+Parity with oulu/demo.py:274-447: rebuild the model, restore saved params,
+compile only the prediction function, then run per-utterance single-sequence
+forwards and print the predicted phrase.  Video playback (OpenCV) is omitted
+— this environment is headless; the numeric path is identical.
+
+Usage:
+    python -m ip_avsr_tpu.cli.demo --config configs/synthetic_1stream.ini \
+        --model best.pkl --synthetic 12
+"""
+
+from __future__ import annotations
+
+import argparse
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ip_avsr_tpu.cli import nstream
+from ip_avsr_tpu.io import matio
+from ip_avsr_tpu.models import adenet, zoo
+from ip_avsr_tpu.ops.voting import masked_majority_vote
+from ip_avsr_tpu.train import config as config_lib
+
+OULU_PHRASES = ["Excuse me", "Goodbye", "Hello", "How are you", "Nice to meet you",
+                "See you", "I am sorry", "Thank you", "Have a good time",
+                "You are welcome"]
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--config", required=True)
+    ap.add_argument("--model", help="pickled params from --save_best")
+    ap.add_argument("--synthetic", type=int, default=0)
+    ap.add_argument("--classnames", help="comma-separated class names")
+    args = ap.parse_args(argv)
+
+    cp = config_lib.load_config(args.config)
+    stream_cfgs = config_lib.parse_streams(cp)
+    clf = config_lib.parse_classifier(cp)
+
+    dims = [s.input_dimensions for s in stream_cfgs]
+    encoders = [(s.nonlinearities, s.shape) if s.shape and s.use_encoder else None
+                for s in stream_cfgs]
+    if len(stream_cfgs) == 1 and encoders[0] is not None:
+        cfg = zoo.deltanet_majority_vote(dims[0], encoders[0][1], encoders[0][0],
+                                         lstm_size=clf.lstm_size, window=clf.windowsize,
+                                         output_classes=clf.output_classes,
+                                         use_blstm=clf.use_blstm)
+    elif len(stream_cfgs) == 1:
+        cfg = zoo.lstm_classifier_majority_vote(dims[0], lstm_size=clf.lstm_size,
+                                                output_classes=clf.output_classes,
+                                                use_blstm=clf.use_blstm)
+    else:
+        cfg = zoo.adenet_nstream(dims, encoders, lstm_size=clf.lstm_size,
+                                 window=clf.windowsize,
+                                 output_classes=clf.output_classes,
+                                 fusiontype=clf.fusiontype,
+                                 use_peepholes=clf.use_peepholes)
+
+    if args.model:
+        params = matio.load_model_params(args.model)
+    else:
+        print("no --model given: using random init (smoke mode)")
+        params = adenet.init_adenet_params(jax.random.PRNGKey(0), cfg)
+
+    predict = jax.jit(lambda p, streams, mask: adenet.adenet_forward(
+        p, cfg, streams, mask, train=False))
+
+    classnames = (args.classnames.split(",") if args.classnames
+                  else clf.output_classnames or OULU_PHRASES[: clf.output_classes])
+
+    n = args.synthetic or 5
+    data = [nstream.synthesize_dataset(n, d, clf.output_classes, seed=i)
+            for i, d in enumerate(dims)]
+    lens = data[0]["videoLengthVec"].reshape(-1)
+    targets = data[0]["targetsVec"].reshape(-1) - 1
+    offsets = np.concatenate([[0], np.cumsum(lens)[:-1]])
+
+    correct = 0
+    for i in range(n):
+        T = int(lens[i])
+        streams = [jnp.asarray(d["dataMatrix"][offsets[i]:offsets[i] + T][None, ...])
+                   for d in data]
+        mask = jnp.ones((1, T), jnp.float32)
+        probs = np.asarray(predict(params, streams, mask))
+        if probs.ndim == 3:
+            pred = int(masked_majority_vote(probs, np.ones((1, T)))[0])
+        else:
+            pred = int(np.argmax(probs[0]))
+        truth = int(targets[offsets[i]])
+        mark = "*" if pred == truth else " "
+        correct += pred == truth
+        print(f"utterance {i + 1:3d}: predicted '{classnames[pred]}' "
+              f"(truth '{classnames[truth]}') {mark}")
+    print(f"accuracy: {correct}/{n}")
+
+
+if __name__ == "__main__":
+    main()

@@ -37,12 +37,17 @@ def uniform(rng_range=0.01):
 
 
 def orthogonal(key, shape, dtype=jnp.float32, gain=1.0):
-    """Orthogonal init via SVD of a Gaussian (Lasagne init.Orthogonal)."""
+    """Orthogonal init via SVD of a Gaussian (Lasagne init.Orthogonal).
+
+    The SVD runs on the host (NumPy): initialization is eager one-time work,
+    and large SVDs dispatched to an accelerator backend are pathologically
+    slow (and pointless) there.
+    """
     flat_shape = (shape[0], int(np.prod(shape[1:])))
-    a = jax.random.normal(key, flat_shape, jnp.float32)
-    u, _, vt = jnp.linalg.svd(a, full_matrices=False)
+    a = np.asarray(jax.random.normal(key, flat_shape, jnp.float32))
+    u, _, vt = np.linalg.svd(a, full_matrices=False)
     q = u if u.shape == flat_shape else vt
-    return (gain * q.reshape(shape)).astype(dtype)
+    return jnp.asarray(gain * q.reshape(shape), dtype)
 
 
 def constant(value=0.0):

@@ -1,0 +1,86 @@
+"""Reporting utilities: loss curves, image tiles, network printout.
+
+Parity targets: utils/plotting_utils.py (plot_validation_cost :132,
+tile_raster_images :12, visualize_reconstruction :163-223, print_network
+:278) with matplotlib imported lazily so headless training never touches it.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def plot_validation_cost(train_costs, val_costs, class_rate=None, savefilename=None):
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    epochs = np.arange(1, len(train_costs) + 1)
+    fig, ax1 = plt.subplots()
+    ax1.plot(epochs, train_costs, label="train cost")
+    ax1.plot(epochs, val_costs, label="validation cost")
+    ax1.set_xlabel("epoch")
+    ax1.set_ylabel("cost")
+    if class_rate is not None:
+        ax2 = ax1.twinx()
+        ax2.plot(epochs, class_rate, "g--", label="classification rate")
+        ax2.set_ylabel("classification rate")
+    ax1.legend(loc="best")
+    if savefilename:
+        fig.savefig(f"{savefilename}")
+    plt.close(fig)
+
+
+def tile_raster_images(X, img_shape, tile_shape, tile_spacing=(1, 1)):
+    """Tile flattened images into one 2D array for visualization
+    (utils/plotting_utils.py:12-129 behavior, simplified: per-image 0-1
+    scaling, float output)."""
+    X = np.asarray(X)
+    H, W = img_shape
+    th, tw = tile_shape
+    sh, sw = tile_spacing
+    out = np.zeros((th * H + (th - 1) * sh, tw * W + (tw - 1) * sw), dtype=np.float64)
+    for i in range(th):
+        for j in range(tw):
+            idx = i * tw + j
+            if idx >= len(X):
+                continue
+            img = X[idx].reshape(img_shape)
+            mn, mx = img.min(), img.max()
+            img = (img - mn) / (mx - mn) if mx > mn else img * 0
+            out[i * (H + sh) : i * (H + sh) + H, j * (W + sw) : j * (W + sw) + W] = img
+    return out
+
+
+def visualize_reconstruction(original, reconstructed, shape=(30, 40), savefilename=None):
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    n = len(original)
+    side = int(np.ceil(np.sqrt(n)))
+    fig, (ax1, ax2) = plt.subplots(1, 2)
+    ax1.imshow(tile_raster_images(original, shape, (side, side)), cmap="gray")
+    ax1.set_title("original")
+    ax1.axis("off")
+    ax2.imshow(tile_raster_images(reconstructed, shape, (side, side)), cmap="gray")
+    ax2.set_title("reconstruction")
+    ax2.axis("off")
+    if savefilename:
+        fig.savefig(savefilename)
+    plt.close(fig)
+
+
+def print_network(params, log_fn=print):
+    """Dump parameter-tree shapes (the analogue of Lasagne print_network)."""
+    import jax
+
+    total = 0
+    for path, leaf in jax.tree_util.tree_flatten_with_path(params)[0]:
+        name = "/".join(str(getattr(k, "key", getattr(k, "idx", k))) for k in path)
+        log_fn(f"  {name}: {tuple(leaf.shape)} {leaf.dtype}")
+        total += int(np.prod(leaf.shape))
+    log_fn(f"  total parameters: {total:,}")
+    return total

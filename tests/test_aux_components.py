@@ -1,0 +1,114 @@
+"""Tests for auxiliary components: pooling, LCN, MATLAB DCT, segmentation,
+SDE pretraining, net drawing, plotting."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ip_avsr_tpu.data import dct_matlab, segmentation
+from ip_avsr_tpu.ops import lcn, pooling
+from ip_avsr_tpu.pretrain import sde
+from ip_avsr_tpu.utils import draw_net, plotting
+
+
+def test_masked_mean_pool():
+    x = jnp.asarray(np.arange(24, dtype=np.float32).reshape(2, 4, 3))
+    mask = jnp.asarray([[1, 1, 0, 0], [1, 1, 1, 1]], jnp.float32)
+    out = np.asarray(pooling.masked_mean_pool(x, mask))
+    np.testing.assert_allclose(out[0], np.arange(24).reshape(2, 4, 3)[0, :2].mean(0))
+    np.testing.assert_allclose(out[1], np.arange(24).reshape(2, 4, 3)[1].mean(0))
+
+
+def test_gaussian_filter_normalized():
+    g = lcn.gaussian_filter(9)
+    assert g.shape == (9, 9)
+    np.testing.assert_allclose(g.sum(), 1.0, rtol=1e-6)
+    assert g[4, 4] == g.max()
+
+
+def test_lecun_lcn_shapes_and_contrast():
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.rand(2, 1, 16, 16).astype(np.float32) * 10 + 5)
+    out = np.asarray(lcn.lecun_lcn(x, kernel_shape=5))
+    assert out.shape == (2, 1, 16, 16)
+    # local mean removal: output roughly zero-centered
+    assert abs(out.mean()) < 0.5
+
+
+def test_dct2_orthonormal_roundtrip():
+    rng = np.random.RandomState(0)
+    img = rng.randn(6, 8)
+    coeffs = dct_matlab.dct2(img)
+    # inverse via transposed orthonormal DCT
+    import scipy.fftpack as fft
+
+    back = fft.idct(fft.idct(coeffs, norm="ortho", axis=1), norm="ortho", axis=0)
+    np.testing.assert_allclose(back, img, atol=1e-10)
+    # Parseval: energy preserved
+    np.testing.assert_allclose((coeffs ** 2).sum(), (img ** 2).sum(), rtol=1e-10)
+
+
+def test_compute_dct_feat_and_deltas_shape():
+    rng = np.random.RandomState(0)
+    X = rng.randn(10, 24)  # 4x6 images
+    feats = dct_matlab.compute_dct_feat(X, (4, 6), no_coeff=5)
+    assert feats.shape == (10, 5)
+    both = dct_matlab.compute_dct_feat_and_deltas(X, (4, 6), [6, 4], no_coeff=5)
+    assert both.shape == (10, 15)
+    np.testing.assert_allclose(both[:, :5], feats)
+
+
+def test_htk_segmentation(tmp_path):
+    label_file = tmp_path / "labels.txt"
+    label_file.write_text(
+        "#Normal in 100ns\n"
+        "1000000 3000000 zero\n"
+        "5000000 8000000 three\n"
+        "#Moving\n"
+        "9000000 9500000 nine\n"
+    )
+    labels = segmentation.parse_htk_labels(str(label_file))
+    assert labels == [(1000000, 3000000, "zero"), (5000000, 8000000, "three")]
+    # frames at 0.05s intervals: 100ns times 0, 500000, 1000000, ...
+    pts = [i * 0.05 for i in range(20)]
+    idxs, frame_labels, seq_lens = segmentation.segment_frames(pts, labels)
+    # window (1000000, 3000000]: times 1500000, 2000000, 2500000, 3000000 -> 4 frames
+    assert seq_lens == [4, 6]
+    assert frame_labels[:4] == [0] * 4
+    assert frame_labels[4:] == [3] * 6
+    assert segmentation.digit_to_int("seven") == 7
+
+
+def test_sde_pretraining_reduces_reconstruction_error():
+    rng = np.random.RandomState(0)
+    protos = rng.rand(4, 16)
+    data = (protos[rng.randint(0, 4, 128)] + 0.02 * rng.randn(128, 16)).astype(np.float32)
+    weights, biases = sde.train_sde(jax.random.PRNGKey(0), data, [8, 4],
+                                    epochs=10, batchsize=32, log_fn=lambda s: None)
+    assert [w.shape for w in weights] == [(16, 8), (8, 4)]
+    # codes should preserve prototype structure: reconstruct linearly
+    code = 1 / (1 + np.exp(-(data @ weights[0] + biases[0])))
+    code = code @ weights[1] + biases[1]
+    assert np.isfinite(code).all()
+
+
+def test_draw_net_dot(tmp_path):
+    from ip_avsr_tpu.models import zoo
+
+    cfg = zoo.adenet_v2(40, 10, [32, 16, 8], ["sigmoid", "sigmoid", "linear"],
+                        lstm_size=8, window=4, output_classes=5)
+    dot = draw_net.config_to_dot(cfg)
+    assert "digraph" in dot and "fusion|sum" in dot and "encoder raw" in dot
+    out = draw_net.draw_to_file(cfg, str(tmp_path / "net.dot"))
+    assert out.endswith(".dot")
+
+
+def test_plotting_tile_and_loss(tmp_path):
+    rng = np.random.RandomState(0)
+    tiled = plotting.tile_raster_images(rng.rand(4, 16), (4, 4), (2, 2))
+    assert tiled.shape == (9, 9)
+    plotting.plot_validation_cost([3, 2, 1], [3.2, 2.5, 1.8], [0.3, 0.5, 0.7],
+                                  savefilename=str(tmp_path / "loss.png"))
+    assert (tmp_path / "loss.png").exists()
+    n = plotting.print_network({"a": {"w": np.zeros((3, 4))}}, log_fn=lambda s: None)
+    assert n == 12

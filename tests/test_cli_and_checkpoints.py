@@ -1,0 +1,123 @@
+"""End-to-end CLI chain + checkpoint/resume tests (CPU)."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from ip_avsr_tpu.io import matio
+
+
+def test_nstream_train_save_extract_demo(tmp_path, capsys):
+    from ip_avsr_tpu.cli import demo, extract_weights, nstream
+
+    best = tmp_path / "best.pkl"
+    results = tmp_path / "results.csv"
+    res = nstream.main(["--config", "configs/synthetic_1stream.ini",
+                        "--synthetic", "40", "--num_epoch", "2",
+                        "--save_best", str(best), "--write_results", str(results)])
+    assert best.exists()
+    assert len(results.read_text().strip().split(",")) == 3
+
+    # weight surgery: encoder + LSTM bundles out of the saved model
+    out_mat = tmp_path / "weights.mat"
+    extract_weights.main(["--model", str(best), "--encoder-stream", "s1",
+                          "--lstm", "aggregator/0/fwd:lstm_agg_f",
+                          "--out", str(out_mat)])
+    mat = matio.load_mat_file(str(out_mat))
+    assert "w1" in mat and "lstm_agg_f_w_in_to_ingate" in mat
+    w, b = matio.load_dbn_mat(str(out_mat), n_layers=3)
+    assert w[0].shape == (24, 32)
+
+    # demo inference with the trained model
+    demo.main(["--config", "configs/synthetic_1stream.ini", "--model", str(best),
+               "--synthetic", "6"])
+    out = capsys.readouterr().out
+    assert "accuracy:" in out
+
+
+def test_pretrained_encoder_feeds_nstream(tmp_path):
+    from ip_avsr_tpu.cli import pretrain_dbn
+
+    ae_path = tmp_path / "ae.mat"
+    pretrain_dbn.main(["--synthetic", "100", "--input-dim", "24", "--hidden", "32,16,8",
+                       "--activations", "sigm,sigm,linear", "--epochs", "1",
+                       "--batchsize", "25", "--out", str(ae_path)])
+    w, b = matio.load_dbn_mat(str(ae_path), n_layers=6)
+    assert [x.shape for x in w[:3]] == [(24, 32), (32, 16), (16, 8)]
+    # decoder mirrors
+    np.testing.assert_allclose(w[3], w[2].T)
+
+
+def test_checkpoint_save_restore(tmp_path):
+    import jax
+
+    from ip_avsr_tpu.models import adenet, zoo
+    from ip_avsr_tpu.train import checkpoints, optimizers
+
+    cfg = zoo.lstm_classifier_majority_vote(6, lstm_size=4, output_classes=3)
+    params = adenet.init_adenet_params(jax.random.PRNGKey(0), cfg)
+    opt = optimizers.adam(1e-3)
+    opt_state = opt.init(params)
+
+    ckdir = str(tmp_path / "ck")
+    checkpoints.save_train_state(ckdir, 3, params, opt_state, extra={"best_val": 1.5})
+    checkpoints.save_train_state(ckdir, 7, params, opt_state, extra={"best_val": 1.2})
+    assert checkpoints.latest_step(ckdir) == 7
+
+    restored = checkpoints.restore_train_state(ckdir)
+    assert int(restored["step"]) == 7
+    assert float(restored["extra"]["best_val"]) == 1.2
+    for a, b in zip(jax.tree_util.tree_leaves(params),
+                    jax.tree_util.tree_leaves(restored["params"])):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b))
+    assert checkpoints.restore_train_state(str(tmp_path / "nope")) is None
+
+
+def test_ffprobe_parser():
+    from ip_avsr_tpu.utils.ffmpeg import parse_ffprobe_output
+
+    text = """[FRAME]
+media_type=video
+stream_index=0
+key_frame=1
+pkt_pts=0
+pkt_pts_time=0.000000
+pkt_duration=N/A
+pkt_duration_time=N/A
+width=720
+height=480
+pict_type=I
+[/FRAME]
+[FRAME]
+media_type=audio
+stream_index=1
+key_frame=1
+pkt_pts=1152
+pkt_pts_time=0.026122
+sample_fmt=s16p
+nb_samples=1152
+channels=2
+channel_layout=stereo
+[/FRAME]
+[FRAME]
+media_type=video
+stream_index=0
+key_frame=0
+pkt_pts=3003
+pkt_pts_time=0.033367
+width=720
+height=480
+[SIDE_DATA]
+side_data_type=GOP timecode
+timecode=00:00:00:00
+[/SIDE_DATA]
+[/FRAME]
+"""
+    audio, video = parse_ffprobe_output(text)
+    assert len(video) == 2 and len(audio) == 1
+    assert video[0].width == 720 and video[0].pkt_duration == -1
+    assert np.isnan(video[0].pkt_duration_time)
+    assert audio[0].nb_samples == 1152 and audio[0].channels == 2
+    assert video[1].pkt_pts_time == 0.033367

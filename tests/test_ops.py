@@ -61,21 +61,32 @@ def test_delta_reference_inline_example():
 
 
 def test_delta_pallas_interpret_matches_jnp():
-    from ip_avsr_tpu.ops.pallas import delta_kernel
     import functools
+
     from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    from ip_avsr_tpu.ops.pallas import delta_kernel
 
     x = np.random.RandomState(1).randn(2, 9, 8).astype(np.float32)
-    window = 3
-    kernel = functools.partial(delta_kernel._delta_kernel, window=window, T=9, D=8)
-    got = pl.pallas_call(
+    window, T, D = 3, 9, 8
+    kernel = functools.partial(delta_kernel._delta_kernel, window=window, T=T, D=D)
+    d, a = pl.pallas_call(
         kernel,
-        out_shape=jax.ShapeDtypeStruct((2, 9, 24), jnp.float32),
+        out_shape=(
+            jax.ShapeDtypeStruct((2, T, D), jnp.float32),
+            jax.ShapeDtypeStruct((2, T, D), jnp.float32),
+        ),
         grid=(2,),
-        in_specs=[pl.BlockSpec((1, 9, 8), lambda b: (b, 0, 0))],
-        out_specs=pl.BlockSpec((1, 9, 24), lambda b: (b, 0, 0)),
+        in_specs=[pl.BlockSpec((1, T, D), lambda b: (b, 0, 0))],
+        out_specs=(
+            pl.BlockSpec((1, T, D), lambda b: (b, 0, 0)),
+            pl.BlockSpec((1, T, D), lambda b: (b, 0, 0)),
+        ),
+        scratch_shapes=[pltpu.VMEM((T + 2 * window, D), jnp.float32)],
         interpret=True,
     )(jnp.asarray(x))
+    got = jnp.concatenate([jnp.asarray(x), d, a], axis=-1)
     expected = delta_ops.append_delta_coeff(jnp.asarray(x), window)
     np.testing.assert_allclose(np.asarray(got), np.asarray(expected), atol=1e-5)
 
