@@ -141,11 +141,11 @@ def main():
 
     tiny = False
     if args.quick:
-        batches = [args.batch or 32]
+        batches = [args.batch or 128]
         iters = 10
         cpu_iters = 1
     else:
-        batches = [args.batch] if args.batch else [32, 64, 128]
+        batches = [args.batch] if args.batch else [128, 256, 512]
         iters = 30
         cpu_iters = 3
 

@@ -176,6 +176,135 @@ def lstm_forward(
     return out
 
 
+def lstm_forward_grouped(
+    params_list,
+    xs,
+    mask: Optional[jnp.ndarray],
+    backwards_flags,
+    grad_clipping: float = 5.0,
+    matmul_dtype=None,
+):
+    """Run G independent LSTMs as ONE scan with stacked (batched) weights.
+
+    The reference's multi-stream models run each stream's LSTM (and the
+    aggregator's forward/backward halves) as separate recurrences; on TPU
+    that serializes G*T small steps.  Independent LSTMs over the same mask
+    and hidden size can instead be stacked on a leading group axis: the input
+    projections become one batched matmul, and the scan body's recurrence is
+    a single (G, B, H) x (G, H, 4H) batched matmul — T sequential steps total
+    instead of G*T.
+
+    Inputs with different feature dims are zero-padded to the widest and the
+    corresponding w_in rows zero-padded (zero inputs contribute nothing and
+    receive zero gradient, so semantics and training are unchanged).
+    Backward-direction members have their inputs/mask pre-flipped in time and
+    outputs flipped back, reproducing Lasagne's ``backwards=True``.
+
+    Requirements: same hidden size, same peephole setting, same (B, T) mask.
+    Returns a list of (B, T, H) outputs in input order.
+    """
+    G = len(params_list)
+    assert G == len(xs) == len(backwards_flags)
+    B, T = xs[0].shape[0], xs[0].shape[1]
+    H = lstm_params_hidden_size(params_list[0])
+    use_peepholes = "w_cell_to_ingate" in params_list[0]
+    f32 = xs[0].dtype
+
+    if mask is None:
+        mask = jnp.ones((B, T), dtype=jnp.float32)
+    mask = mask.astype(jnp.float32)
+
+    d_max = max(int(x.shape[-1]) for x in xs)
+
+    def pad_x(x):
+        d = int(x.shape[-1])
+        return x if d == d_max else jnp.pad(x, ((0, 0), (0, 0), (0, d_max - d)))
+
+    def pad_w(w):
+        d = int(w.shape[0])
+        return w if d == d_max else jnp.pad(w, ((0, d_max - d), (0, 0)))
+
+    xs_stack = []
+    masks = []
+    for x, bwd in zip(xs, backwards_flags):
+        x = pad_x(x)
+        xs_stack.append(jnp.flip(x, axis=1) if bwd else x)
+        masks.append(jnp.flip(mask, axis=1) if bwd else mask)
+    x_g = jnp.stack(xs_stack)  # (G, B, T, Dmax)
+    mask_g = jnp.transpose(jnp.stack(masks), (2, 0, 1))[..., None]  # (T, G, B, 1)
+
+    w_in = jnp.stack([pad_w(p["w_in"]) for p in params_list])  # (G, Dmax, 4H)
+    w_hid = jnp.stack([p["w_hid"] for p in params_list])  # (G, H, 4H)
+    b = jnp.stack([p["b"] for p in params_list])  # (G, 4H)
+    cell0 = jnp.stack([jnp.broadcast_to(p["cell_init"], (B, H)) for p in params_list])
+    hid0 = jnp.stack([jnp.broadcast_to(p["hid_init"], (B, H)) for p in params_list])
+    if use_peepholes:
+        w_ci = jnp.stack([p["w_cell_to_ingate"] for p in params_list])[:, None, :]
+        w_cf = jnp.stack([p["w_cell_to_forgetgate"] for p in params_list])[:, None, :]
+        w_co = jnp.stack([p["w_cell_to_outgate"] for p in params_list])[:, None, :]
+
+    if matmul_dtype is not None:
+        x_mm, w_in_mm, w_hid_mm = (x_g.astype(matmul_dtype), w_in.astype(matmul_dtype),
+                                   w_hid.astype(matmul_dtype))
+    else:
+        x_mm, w_in_mm, w_hid_mm = x_g, w_in, w_hid
+
+    # (G, B*T, D) @ (G, D, 4H) -> one batched MXU matmul for all gates/steps
+    x_proj = jax.lax.dot_general(
+        x_mm.reshape(G, B * T, d_max), w_in_mm,
+        dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    ).reshape(G, B, T, 4 * H).astype(f32) + b[:, None, None, :]
+    x_proj_t = jnp.transpose(x_proj, (2, 0, 1, 3))  # (T, G, B, 4H)
+
+    def step(carry, inputs):
+        cell_prev, hid_prev = carry  # (G, B, H)
+        xp, m = inputs  # (G, B, 4H), (G, B, 1)
+        hid_mm = hid_prev.astype(w_hid_mm.dtype)
+        rec = jax.lax.dot_general(
+            hid_mm, w_hid_mm,
+            dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        ).astype(f32)
+        gates = xp + rec
+        if grad_clipping:
+            gates = grad_clip(gates, grad_clipping)
+        ingate, forgetgate, cell_input, outgate = jnp.split(gates, 4, axis=-1)
+        if use_peepholes:
+            ingate = ingate + cell_prev * w_ci
+            forgetgate = forgetgate + cell_prev * w_cf
+        ingate = jax.nn.sigmoid(ingate)
+        forgetgate = jax.nn.sigmoid(forgetgate)
+        cell_input = jnp.tanh(cell_input)
+        cell = forgetgate * cell_prev + ingate * cell_input
+        if use_peepholes:
+            outgate = outgate + cell * w_co
+        outgate = jax.nn.sigmoid(outgate)
+        hid = outgate * jnp.tanh(cell)
+        cell = m * cell + (1.0 - m) * cell_prev
+        hid = m * hid + (1.0 - m) * hid_prev
+        return (cell, hid), hid
+
+    (_, _), hids = jax.lax.scan(step, (cell0, hid0), (x_proj_t, mask_g))
+    # (T, G, B, H) -> per-group (B, T, H)
+    hids = jnp.transpose(hids, (1, 2, 0, 3))
+    outs = []
+    for g, bwd in enumerate(backwards_flags):
+        out = hids[g]
+        outs.append(jnp.flip(out, axis=1) if bwd else out)
+    return outs
+
+
+def can_group_lstms(params_list) -> bool:
+    """Grouped execution requires equal hidden sizes and peephole settings."""
+    if len(params_list) < 2:
+        return False
+    H = lstm_params_hidden_size(params_list[0])
+    peep = "w_cell_to_ingate" in params_list[0]
+    return all(lstm_params_hidden_size(p) == H and ("w_cell_to_ingate" in p) == peep
+               for p in params_list)
+
+
 def blstm_forward(
     fwd_params: dict,
     bwd_params: dict,

@@ -121,3 +121,50 @@ timecode=00:00:00:00
     assert np.isnan(video[0].pkt_duration_time)
     assert audio[0].nb_samples == 1152 and audio[0].channels == 2
     assert video[1].pkt_pts_time == 0.033367
+
+
+def test_trimodal_cli_synthetic():
+    from ip_avsr_tpu.cli import trimodal
+
+    res = trimodal.main(["--synthetic", "30", "--num_epoch", "1"])
+    assert np.isfinite(res.best_val)
+    assert res.test_conf.sum() > 0
+
+
+def test_audio_visual_cli_synthetic(tmp_path):
+    from ip_avsr_tpu.cli import audio_visual
+
+    results = tmp_path / "r.csv"
+    res = audio_visual.main(["--synthetic", "24", "--write_results", str(results)])
+    assert np.isfinite(res.best_val)
+    lines = results.read_text().strip().splitlines()
+    assert lines[1].startswith("train_costs,") and lines[2].startswith("val_costs,")
+
+
+def test_convae_and_ae_finetuner_cli(tmp_path):
+    from ip_avsr_tpu.cli import ae_finetuner, convae
+
+    convae.main(["--synthetic", "16", "--model", "plain", "--epochs", "1",
+                 "--batchsize", "8", "--bottleneck", "8", "--dense", "16",
+                 "--out", str(tmp_path / "cae.pkl")])
+    assert (tmp_path / "cae.pkl").exists()
+    ae_finetuner.main(["--synthetic", "32", "--epochs", "1", "--batchsize", "16",
+                       "--out", str(tmp_path / "ae_ft.mat")])
+    w, b = matio.load_dbn_mat(str(tmp_path / "ae_ft.mat"), n_layers=4)
+    assert w[0].shape == (24, 16)
+
+
+def test_prepare_data_cli(tmp_path):
+    from ip_avsr_tpu.cli import prepare_data
+
+    rng = np.random.RandomState(0)
+    lens = np.array([6, 8])
+    matio.save_mat({"dataMatrix": rng.randn(14, 12).astype(np.float32),
+                    "targetsVec": np.repeat([1, 2], lens).reshape(-1, 1),
+                    "videoLengthVec": lens.reshape(-1, 1)},
+                   str(tmp_path / "raw.mat"))
+    prepare_data.main(["--input", str(tmp_path / "raw.mat"),
+                       "--output", str(tmp_path / "prep.mat"),
+                       "--samplewise", "--diff", "--deltas", "5"])
+    out = matio.load_mat_file(str(tmp_path / "prep.mat"))
+    assert out["dataMatrix"].shape == (14, 36)

@@ -1,0 +1,85 @@
+"""Grouped (stacked) LSTM execution must match individual scans exactly."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from ip_avsr_tpu.models import adenet, zoo
+from ip_avsr_tpu.ops import lstm
+
+
+@pytest.mark.parametrize("peep", [False, True])
+def test_grouped_matches_individual(peep):
+    key = jax.random.PRNGKey(0)
+    ks = jax.random.split(key, 3)
+    H, B, T = 6, 3, 9
+    dims = [5, 8, 8]  # heterogeneous input dims exercise the zero-padding
+    params = [lstm.init_lstm_params(k, d, H, use_peepholes=peep)
+              for k, d in zip(ks, dims)]
+    rng = np.random.RandomState(0)
+    xs = [jnp.asarray(rng.randn(B, T, d).astype(np.float32)) for d in dims]
+    mask = np.ones((B, T), np.uint8)
+    mask[1, 5:] = 0
+    mask = jnp.asarray(mask)
+    flags = [False, True, False]
+
+    grouped = lstm.lstm_forward_grouped(params, xs, mask, flags)
+    for p, x, bwd, got in zip(params, xs, flags, grouped):
+        expected = lstm.lstm_forward(p, x, mask, backwards=bwd)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(expected),
+                                   rtol=1e-5, atol=1e-6)
+
+
+def test_grouped_gradients_match_individual():
+    key = jax.random.PRNGKey(1)
+    ks = jax.random.split(key, 2)
+    H, B, T, D = 4, 2, 6, 5
+    params = [lstm.init_lstm_params(k, D, H) for k in ks]
+    x = jnp.asarray(np.random.RandomState(0).randn(B, T, D).astype(np.float32))
+    mask = jnp.ones((B, T), jnp.float32)
+
+    def loss_grouped(ps):
+        outs = lstm.lstm_forward_grouped(ps, [x, x], mask, [False, True])
+        return jnp.sum((outs[0] + outs[1]) ** 2)
+
+    def loss_individual(ps):
+        a = lstm.lstm_forward(ps[0], x, mask)
+        b = lstm.lstm_forward(ps[1], x, mask, backwards=True)
+        return jnp.sum((a + b) ** 2)
+
+    g1 = jax.grad(loss_grouped)(params)
+    g2 = jax.grad(loss_individual)(params)
+    for t1, t2 in zip(jax.tree_util.tree_leaves(g1), jax.tree_util.tree_leaves(g2)):
+        np.testing.assert_allclose(np.asarray(t1), np.asarray(t2), rtol=1e-4, atol=1e-5)
+
+
+def test_can_group():
+    key = jax.random.PRNGKey(0)
+    a = lstm.init_lstm_params(key, 5, 6)
+    b = lstm.init_lstm_params(key, 9, 6)
+    c = lstm.init_lstm_params(key, 5, 7)
+    d = lstm.init_lstm_params(key, 5, 6, use_peepholes=True)
+    assert lstm.can_group_lstms([a, b])
+    assert not lstm.can_group_lstms([a, c])
+    assert not lstm.can_group_lstms([a, d])
+    assert not lstm.can_group_lstms([a])
+
+
+def test_adenet_fused_vs_unfused_forward():
+    """The model must produce identical outputs with fuse_scans on/off."""
+    enc = (("sigmoid", "sigmoid", "linear"), (16, 12, 6))
+    cfg_on = zoo.adenet_v2(20, 8, enc[1], enc[0], lstm_size=6, window=3,
+                           output_classes=7)
+    cfg_off = adenet.AdeNetConfig(**{**cfg_on.__dict__, "fuse_scans": False})
+    params = adenet.init_adenet_params(jax.random.PRNGKey(2), cfg_on)
+    rng = np.random.RandomState(0)
+    B, T = 3, 8
+    inputs = [jnp.asarray(rng.randn(B, T, d).astype(np.float32)) for d in (20, 8)]
+    lens = rng.randint(3, T + 1, B)
+    mask = jnp.asarray((np.arange(T)[None, :] < lens[:, None]).astype(np.float32))
+
+    out_on = adenet.adenet_forward(params, cfg_on, inputs, mask, train=False)
+    out_off = adenet.adenet_forward(params, cfg_off, inputs, mask, train=False)
+    np.testing.assert_allclose(np.asarray(out_on), np.asarray(out_off),
+                               rtol=1e-5, atol=1e-6)
