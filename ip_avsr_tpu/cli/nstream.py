@@ -46,6 +46,10 @@ def parse_options(argv=None):
     parser.add_argument("--save_plot", help="[FILE_PREFIX] save loss curve + confusion")
     parser.add_argument("--synthetic", type=int, default=0,
                         help="use N synthetic videos instead of .mat datasets")
+    parser.add_argument("--split", default="subjects", choices=["subjects", "itervec"],
+                        help="'subjects': subject-id file split (runners/*); "
+                             "'itervec': AVLetters-style iterations 1,2=train, "
+                             "3=test (utils/preprocessing.py:54-74)")
     parser.add_argument("--mesh", action="store_true", help="data-parallel over devices")
     parser.add_argument("--num_epoch", type=int)
     parser.add_argument("--validation_window", type=int)
@@ -131,7 +135,29 @@ def main(argv=None):
         if clf.matlab_target_offset:
             targets_vec = targets_vec - 1
 
-    # ---- split by subject ------------------------------------------------
+    # ---- split ------------------------------------------------------------
+    if options.split == "itervec" and not options.synthetic:
+        # AVLetters-style: frame-level boolean split from iterVec; iterations
+        # 1 and 2 train, the rest test; test doubles as the validation set
+        # (the avletters mains evaluate on test each epoch).
+        iter_vec = s1["iterVec"].reshape(-1)
+        train_mask = pp.create_split_index(len(matrices[0]), vidlen_vec, iter_vec)
+        train_lens_l, test_lens_l = pp.split_videolen(vidlen_vec.tolist(),
+                                                      iter_vec.tolist())
+        train_streams = [m[train_mask] for m in matrices]
+        test_streams = [m[~train_mask] for m in matrices]
+        val_streams = list(test_streams)
+        train_y = targets_vec[train_mask]
+        test_y = targets_vec[~train_mask]
+        val_y = test_y
+        train_lens = np.asarray(train_lens_l)
+        test_lens = np.asarray(test_lens_l)
+        val_lens = test_lens
+        return _train_and_report(options, clf, tc, stream_cfgs,
+                                 train_streams, train_y, train_lens,
+                                 val_streams, val_y, val_lens,
+                                 test_streams, test_y, test_lens)
+
     if options.synthetic:
         subj_ids = np.unique(subjects_vec)
         n = len(subj_ids)
@@ -159,6 +185,16 @@ def main(argv=None):
     val_y, val_lens = split[0][5], split[0][6]
     test_y, test_lens = split[0][9], split[0][10]
 
+    return _train_and_report(options, clf, tc, stream_cfgs,
+                             train_streams, train_y, train_lens,
+                             val_streams, val_y, val_lens,
+                             test_streams, test_y, test_lens)
+
+
+def _train_and_report(options, clf, tc, stream_cfgs,
+                      train_streams, train_y, train_lens,
+                      val_streams, val_y, val_lens,
+                      test_streams, test_y, test_lens):
     # ---- postsplit featurewise normalization ------------------------------
     for i, sc in enumerate(stream_cfgs):
         if sc.featurewisenormalize:

@@ -168,3 +168,35 @@ def test_prepare_data_cli(tmp_path):
                        "--samplewise", "--diff", "--deltas", "5"])
     out = matio.load_mat_file(str(tmp_path / "prep.mat"))
     assert out["dataMatrix"].shape == (14, 36)
+
+
+def test_nstream_itervec_split(tmp_path):
+    """AVLetters-style iterVec split (iterations 1,2 train / 3 test)."""
+    from ip_avsr_tpu.cli import nstream
+
+    rng = np.random.RandomState(0)
+    n = 30
+    lens = rng.randint(6, 12, n)
+    y = rng.randint(1, 5, n)
+    iters = np.tile([1, 2, 3], 10)
+    frames = []
+    for l, c in zip(lens, y):
+        base = np.zeros(16, np.float32)
+        base[c - 1] = 2.0
+        frames.append(base + 0.4 * rng.randn(l, 16).astype(np.float32))
+    matio.save_mat({"dataMatrix": np.concatenate(frames),
+                    "targetsVec": np.repeat(y, lens).reshape(-1, 1),
+                    "subjectsVec": rng.randint(1, 5, n).reshape(-1, 1),
+                    "videoLengthVec": lens.reshape(-1, 1),
+                    "iterVec": iters.reshape(-1, 1)}, str(tmp_path / "av.mat"))
+    cfg = (open("configs/synthetic_1stream.ini").read()
+           .replace("data = synthetic", f"data = {tmp_path / 'av.mat'}")
+           .replace("input_dimensions = 24", "input_dimensions = 16")
+           .replace("output_classes = 5", "output_classes = 4")
+           .replace("output_classnames = c0,c1,c2,c3,c4", "output_classnames = a,b,c,d")
+           .replace("matlab_target_offset = false", "matlab_target_offset = true")
+           .replace("num_epoch = 4", "num_epoch = 1"))
+    (tmp_path / "iv.ini").write_text(cfg)
+    res = nstream.main(["--config", str(tmp_path / "iv.ini"), "--split", "itervec"])
+    # 10 test videos (iteration 3)
+    assert res.test_conf.sum() == 10
