@@ -51,6 +51,9 @@ def parse_options(argv=None):
                              "'itervec': AVLetters-style iterations 1,2=train, "
                              "3=test (utils/preprocessing.py:54-74)")
     parser.add_argument("--mesh", action="store_true", help="data-parallel over devices")
+    parser.add_argument("--checkpoint_dir", help="orbax train-state checkpoints")
+    parser.add_argument("--resume", action="store_true",
+                        help="resume from the latest checkpoint in --checkpoint_dir")
     parser.add_argument("--num_epoch", type=int)
     parser.add_argument("--validation_window", type=int)
     return parser.parse_args(argv)
@@ -250,6 +253,8 @@ def _train_and_report(options, clf, tc, stream_cfgs,
         decay_rate=tc.decay_rate,
         decay_start=tc.decay_start,
         use_mesh=options.mesh,
+        checkpoint_dir=options.checkpoint_dir,
+        resume=options.resume,
     )
 
     trainer = Trainer(model_cfg, topts)

@@ -55,6 +55,9 @@ class TrainOptions:
     decay_start: Optional[int] = None
     check_nans: bool = False
     profile_dir: Optional[str] = None
+    checkpoint_dir: Optional[str] = None  # orbax train-state checkpoints
+    checkpoint_every: int = 1  # epochs between checkpoints
+    resume: bool = False  # restore the latest checkpoint before training
     seed: int = 42
     log_fn: Callable[[str], None] = print
     use_mesh: bool = False  # shard batches over all local devices
@@ -181,6 +184,18 @@ class Trainer:
 
         params = self.init_params(jax.random.PRNGKey(o.seed))
         opt_state = self.optimizer.init(params)
+        start_epoch = 0
+        restored_extra = {}
+        if o.resume and o.checkpoint_dir:
+            from ip_avsr_tpu.train import checkpoints as ckpt_lib
+
+            restored = ckpt_lib.restore_train_state(o.checkpoint_dir)
+            if restored is not None:
+                params = restored["params"]
+                opt_state = restored["opt_state"]
+                start_epoch = int(restored["step"])
+                restored_extra = restored.get("extra", {}) or {}
+                o.log_fn(f"resumed from {o.checkpoint_dir} at epoch {start_epoch}")
         if self.mesh is not None:
             params = mesh_lib.replicate(self.mesh, params)
             opt_state = mesh_lib.replicate(self.mesh, opt_state)
@@ -191,18 +206,22 @@ class Trainer:
         test_streams, test_y, test_mask = test_ds.gather(np.arange(test_ds.n))
         val_dev = self._device_batch(val_streams, val_y, val_mask)
 
-        cost_train, cost_val, class_rate = [], [], []
+        cost_train = list(np.asarray(restored_extra.get("cost_train", [])).reshape(-1))
+        cost_val = list(np.asarray(restored_extra.get("cost_val", [])).reshape(-1))
+        class_rate = []
         STRIP = 3
         train_strip = np.zeros((STRIP,))
         val_window = CircularList(o.validation_window)
-        best_val, best_cr, test_cr = float("inf"), 0.0, 0.0
+        best_val = float(restored_extra.get("best_val", float("inf")))
+        best_cr = float(restored_extra.get("best_cr", 0.0))
+        test_cr = 0.0
         test_conf = None
         best_params = jax.tree_util.tree_map(np.asarray, params)
         lr = o.learning_rate
         epochs_run = 0
 
         batch_iter = self._infinite_batches(train_ds, o.batchsize, rng)
-        for epoch in range(o.num_epoch):
+        for epoch in range(start_epoch, o.num_epoch):
             t0 = time.time()
             last_batch = None
             for _ in range(o.epochsize):
@@ -244,6 +263,15 @@ class Trainer:
                     f"Epoch {epoch + 1} train cost = {cost:.6f}, val cost = {val_cost:.6f}, "
                     f"GL loss = {gl:.3f}, GQ = {pq:.3f}, CR = {cr:.3f} "
                     f"({time.time() - t0:.1f}sec)")
+
+            if o.checkpoint_dir and (epoch + 1) % o.checkpoint_every == 0:
+                from ip_avsr_tpu.train import checkpoints as ckpt_lib
+
+                ckpt_lib.save_train_state(
+                    o.checkpoint_dir, epoch + 1, params, opt_state,
+                    extra={"best_val": best_val, "best_cr": best_cr,
+                           "cost_train": np.asarray(cost_train),
+                           "cost_val": np.asarray(cost_val)})
 
             if epoch >= o.validation_window and early_stop2(val_window, best_val,
                                                             o.validation_window):

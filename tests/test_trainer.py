@@ -71,3 +71,27 @@ def test_trainer_mesh_data_parallel_matches_shapes():
     result = trainer.fit(([X], y, lens), ([X], y, lens), ([X], y, lens))
     assert result.epochs_run == 2
     assert np.isfinite(result.cost_val).all()
+
+
+def test_trainer_checkpoint_and_resume(tmp_path):
+    from ip_avsr_tpu.models import zoo as zoo_mod
+
+    X, y, lens = make_synthetic(20)
+    cfg = zoo_mod.lstm_classifier_majority_vote(12, lstm_size=8, output_classes=4)
+    ckdir = str(tmp_path / "ck")
+    opts = TrainOptions(num_epoch=3, epochsize=3, batchsize=8, learning_rate=0.01,
+                        validation_window=50, seed=0, log_fn=lambda s: None,
+                        checkpoint_dir=ckdir, checkpoint_every=1)
+    trainer = Trainer(cfg, opts)
+    r1 = trainer.fit(([X], y, lens), ([X], y, lens), ([X], y, lens))
+    from ip_avsr_tpu.train import checkpoints
+    assert checkpoints.latest_step(ckdir) == 3
+
+    # resume continues from epoch 3 to 5 with restored history/best tracking
+    opts2 = TrainOptions(num_epoch=5, epochsize=3, batchsize=8, learning_rate=0.01,
+                         validation_window=50, seed=0, log_fn=lambda s: None,
+                         checkpoint_dir=ckdir, resume=True)
+    trainer2 = Trainer(cfg, opts2)
+    r2 = trainer2.fit(([X], y, lens), ([X], y, lens), ([X], y, lens))
+    assert len(r2.cost_val) == 5  # 3 restored + 2 new
+    assert checkpoints.latest_step(ckdir) == 5
