@@ -69,7 +69,7 @@ def build(batch, matmul_dtype=None, tiny=False):
     return cfg, params, inputs, mask
 
 
-def measure_tpu(batch, iters, matmul_dtype="bfloat16", tiny=False):
+def measure_tpu(batch, iters, matmul_dtype="bfloat16", tiny=False, bf16_params=True):
     """Forward throughput with airtight timing.
 
     ``iters`` forwards are chained inside ONE jitted program with a data
@@ -86,6 +86,11 @@ def measure_tpu(batch, iters, matmul_dtype="bfloat16", tiny=False):
 
     cfg, params, inputs, mask = build(batch, matmul_dtype, tiny)
     device = jax.devices()[0]
+    if bf16_params:
+        # inference weights in bf16: halves weight HBM traffic; predictions
+        # verified stable vs f32 (tests/test_models.py::test_bfloat16_...)
+        params = jax.tree_util.tree_map(
+            lambda x: x.astype(jnp.bfloat16) if x.dtype == jnp.float32 else x, params)
     params = jax.device_put(params, device)
 
     def forward(params, raw, dct, diff, mask):
@@ -96,7 +101,7 @@ def measure_tpu(batch, iters, matmul_dtype="bfloat16", tiny=False):
         def body(_, carry):
             acc, raw_i = carry
             out = forward(params, raw_i, dct, diff, mask)
-            s = jnp.sum(out)
+            s = jnp.sum(out).astype(jnp.float32)
             # dependency: next input differs by 0.0 * f(out) — the compiler
             # cannot drop or reorder iterations without changing semantics
             return acc + s, raw_i + 0.0 * s
@@ -141,12 +146,12 @@ def main():
 
     tiny = False
     if args.quick:
-        batches = [args.batch or 128]
+        batches = [args.batch or 512]
         iters = 10
         cpu_iters = 1
     else:
-        batches = [args.batch] if args.batch else [128, 256, 512]
-        iters = 30
+        batches = [args.batch] if args.batch else [512, 1024, 2048]
+        iters = 20
         cpu_iters = 3
 
     # denominator: reference-equivalent CPU throughput (cached)

@@ -234,13 +234,21 @@ def _train_and_report(options, clf, tc, stream_cfgs,
                 dims[0], lstm_size=clf.lstm_size, output_classes=clf.output_classes,
                 w_init=clf.weight_init, use_peepholes=clf.use_peepholes,
                 use_blstm=clf.use_blstm)
+        if not stream_cfgs[0].use_delta:
+            # unimodal_nodelta / 1stream nodelta ablation
+            from ip_avsr_tpu.models.adenet import AdeNetConfig, StreamSpec
+
+            streams = [StreamSpec(**{**model_cfg.streams[0].__dict__,
+                                     "use_delta": False})]
+            model_cfg = AdeNetConfig(**{**model_cfg.__dict__, "streams": streams})
     else:
         model_cfg = zoo.adenet_nstream(
             dims, encoders, lstm_size=clf.lstm_size, window=clf.windowsize,
             output_classes=clf.output_classes, fusiontype=clf.fusiontype,
             w_init=clf.weight_init, use_peepholes=clf.use_peepholes,
             stream_dropout=0.5 if clf.use_dropout else 0.0,
-            stream_lstm_multiplier=2 if clf.use_dropout else 1)
+            stream_lstm_multiplier=2 if clf.use_dropout else 1,
+            use_delta=[sc.use_delta for sc in stream_cfgs])
 
     topts = TrainOptions(
         num_epoch=options.num_epoch or tc.num_epoch,

@@ -225,6 +225,88 @@ def batch_iterator(X, y, batchsize=128, rng=None):
         yield batch_X, batch_y
 
 
+class BucketedDataset:
+    """Length-bucketed variant of :class:`PaddedDataset`.
+
+    The reference pads every batch to the *global* max sequence length
+    (utils/datagen.py:104), so a split with one long outlier makes every
+    batch pay for it.  Bucketing groups sequences by length into a few
+    static shapes (one XLA compilation per bucket), cutting padded-frame
+    waste while keeping shapes static.
+
+    ``boundaries`` are inclusive upper bounds; sequences longer than the last
+    boundary are truncated to it (choose boundaries >= max length to avoid
+    truncation).  By default boundaries are chosen as the 50/75/100th
+    percentiles of the length distribution.
+    """
+
+    def __init__(self, streams: Sequence[np.ndarray], y, seqlens, boundaries=None):
+        seqlens = np.asarray(seqlens).reshape(-1).astype(np.int64)
+        if boundaries is None:
+            qs = np.percentile(seqlens, [50, 75, 100]).astype(np.int64)
+            boundaries = sorted(set(int(q) for q in qs))
+        self.boundaries = list(boundaries)
+        self.buckets = []
+        self.bucket_video_idxs = []
+        assignments = np.searchsorted(self.boundaries, np.minimum(
+            seqlens, self.boundaries[-1]))
+        offsets = np.asarray(compute_integral_len(seqlens))
+        y = np.asarray(y).reshape(-1) if y is not None else None
+        for b, bound in enumerate(self.boundaries):
+            vid_idxs = np.nonzero(assignments == b)[0]
+            self.bucket_video_idxs.append(vid_idxs)
+            if len(vid_idxs) == 0:
+                self.buckets.append(None)
+                continue
+            sub_streams = []
+            for X in streams:
+                X = np.asarray(X)
+                frames = np.concatenate(
+                    [X[offsets[i] : offsets[i] + min(int(seqlens[i]), bound)]
+                     for i in vid_idxs])
+                sub_streams.append(frames)
+            sub_lens = np.minimum(seqlens[vid_idxs], bound)
+            sub_y = (np.concatenate([
+                np.full(min(int(seqlens[i]), bound), y[offsets[i]])
+                for i in vid_idxs]) if y is not None else None)
+            self.buckets.append(PaddedDataset(sub_streams, sub_y, sub_lens,
+                                              max_timesteps=bound))
+
+    @property
+    def n(self):
+        return sum(len(v) for v in self.bucket_video_idxs)
+
+    def padded_frame_fraction(self):
+        """Fraction of batch tensor frames that are padding (waste metric)."""
+        total, valid = 0, 0
+        for ds in self.buckets:
+            if ds is None:
+                continue
+            total += ds.n * ds.max_timesteps
+            valid += int(ds.seqlens.sum())
+        return 1.0 - valid / total if total else 0.0
+
+    def epoch_batches(self, batchsize, shuffle=True, rng=None):
+        """Iterate one epoch: batches from each bucket (bucket order shuffled),
+        each with that bucket's static (batchsize, bound, D) shape."""
+        rng = np.random if rng is None else rng
+        jobs = []
+        for b, ds in enumerate(self.buckets):
+            if ds is None:
+                continue
+            order = rng.permutation(ds.n) if shuffle else np.arange(ds.n)
+            for start in range(0, ds.n, batchsize):
+                jobs.append((b, order[start : start + batchsize]))
+        if shuffle:
+            job_order = rng.permutation(len(jobs))
+        else:
+            job_order = np.arange(len(jobs))
+        for j in job_order:
+            b, idxs = jobs[j]
+            streams, y, mask = self.buckets[b].gather(idxs, pad_to=batchsize)
+            yield b, streams, y, mask, idxs
+
+
 class PaddedDataset:
     """Device-friendly dense view of a multi-stream padded sequence dataset.
 

@@ -319,14 +319,18 @@ def adenet_nstream(
     use_peepholes=True,
     stream_dropout=0.0,
     stream_lstm_multiplier=1,
+    use_delta=True,
 ) -> AdeNetConfig:
     """Generic N-stream AdeNet (modelzoo/adenet_{2,3,4}stream.py,
     adenet_3stream_dct.py — pass encoders[i]=None for encoder-less streams —
     and adenet_3stream_dropout.py via stream_dropout=0.5 +
-    stream_lstm_multiplier=2).  Per-timestep softmax output."""
+    stream_lstm_multiplier=2).  ``use_delta`` may be a bool or a per-stream
+    list (adenet_v2_nodelta-style ablations).  Per-timestep softmax output."""
+    if isinstance(use_delta, bool):
+        use_delta = [use_delta] * len(input_dims)
     streams = []
     for i, (dim, enc) in enumerate(zip(input_dims, encoders)):
-        kw = dict(dropout=stream_dropout,
+        kw = dict(dropout=stream_dropout, use_delta=bool(use_delta[i]),
                   lstm_size=lstm_size * stream_lstm_multiplier if stream_lstm_multiplier != 1 else None)
         if enc is not None:
             nl, sh = enc

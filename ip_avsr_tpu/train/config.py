@@ -38,6 +38,7 @@ class StreamConfig:
     featurewisenormalize: bool = False
     force_align_data: bool = False
     use_encoder: bool = True
+    use_delta: bool = True  # False: adenet_v2_nodelta-style ablation
 
 
 @dataclasses.dataclass
@@ -110,6 +111,7 @@ def parse_stream(cp: configparser.ConfigParser, section: str) -> StreamConfig:
         featurewisenormalize=_getboolean(cp, section, "featurewisenormalize"),
         force_align_data=_getboolean(cp, section, "force_align_data"),
         use_encoder=_getboolean(cp, section, "use_encoder", default=True),
+        use_delta=_getboolean(cp, section, "use_delta", default=True),
     )
 
 

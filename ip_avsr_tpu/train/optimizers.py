@@ -103,7 +103,10 @@ def adam_vlr(lr_map, beta1=0.9, beta2=0.999, epsilon=1e-8) -> Optimizer:
         return {"m": _zeros_like_tree(params), "v": _zeros_like_tree(params),
                 "t": jnp.zeros((), jnp.float32)}
 
-    def apply(params, grads, state):
+    def apply(params, grads, state, learning_rate=None):
+        # the per-parameter rates in lr_map govern; the global learning_rate
+        # argument (passed by generic training loops) is ignored
+        del learning_rate
         t = state["t"] + 1.0
         corr = jnp.sqrt(1.0 - beta2 ** t) / (1.0 - beta1 ** t)
 

@@ -55,6 +55,9 @@ class TrainOptions:
     decay_start: Optional[int] = None
     check_nans: bool = False
     profile_dir: Optional[str] = None
+    # per-parameter learning rates: pytree-path prefix -> rate, used with
+    # optimizer="adam_vlr" (runners/1stream_variable_lr.py; custom/updates.py)
+    lr_map_config: Optional[dict] = None
     checkpoint_dir: Optional[str] = None  # orbax train-state checkpoints
     checkpoint_every: int = 1  # epochs between checkpoints
     resume: bool = False  # restore the latest checkpoint before training
@@ -83,9 +86,22 @@ class Trainer:
     def __init__(self, config: adenet.AdeNetConfig, options: TrainOptions):
         self.config = config
         self.options = options
-        self.optimizer = opt_lib.select_optimizer(options.optimizer, options.learning_rate)
+        if options.optimizer == "adam_vlr":
+            # needs the parameter tree to build the rate map; finalized in fit
+            self.optimizer = None
+        else:
+            self.optimizer = opt_lib.select_optimizer(options.optimizer,
+                                                      options.learning_rate)
         self.mesh = mesh_lib.make_mesh() if options.use_mesh else None
-        self._build_steps()
+        if self.optimizer is not None:
+            self._build_steps()
+
+    def _finalize_optimizer(self, params):
+        if self.optimizer is None:
+            lr_map = opt_lib.generate_lr_map(params, self.options.lr_map_config or {},
+                                             self.options.learning_rate)
+            self.optimizer = opt_lib.adam_vlr(lr_map)
+            self._build_steps()
 
     # -- jitted steps -------------------------------------------------------
 
@@ -183,6 +199,7 @@ class Trainer:
         test_ds = PaddedDataset(test_data[0], test_data[1], test_data[2])
 
         params = self.init_params(jax.random.PRNGKey(o.seed))
+        self._finalize_optimizer(params)
         opt_state = self.optimizer.init(params)
         start_epoch = 0
         restored_extra = {}
@@ -216,7 +233,10 @@ class Trainer:
         best_cr = float(restored_extra.get("best_cr", 0.0))
         test_cr = 0.0
         test_conf = None
-        best_params = jax.tree_util.tree_map(np.asarray, params)
+        if "best_params" in restored_extra:
+            best_params = restored_extra["best_params"]
+        else:
+            best_params = jax.tree_util.tree_map(np.asarray, params)
         lr = o.learning_rate
         epochs_run = 0
 
@@ -270,6 +290,7 @@ class Trainer:
                 ckpt_lib.save_train_state(
                     o.checkpoint_dir, epoch + 1, params, opt_state,
                     extra={"best_val": best_val, "best_cr": best_cr,
+                           "best_params": best_params,
                            "cost_train": np.asarray(cost_train),
                            "cost_val": np.asarray(cost_val)})
 

@@ -124,3 +124,34 @@ def test_padded_dataset_static_shapes():
     last = batches[-1]
     n_real = len(last[3])
     assert (last[2][n_real:] == 0).all()
+
+
+def test_bucketed_dataset_reduces_padding_and_preserves_data():
+    rng = np.random.RandomState(0)
+    # bimodal length distribution: many short, few long
+    lens = np.concatenate([rng.randint(4, 8, 16), rng.randint(20, 25, 4)])
+    X = rng.randn(int(lens.sum()), 5).astype(np.float32)
+    y = np.repeat(rng.randint(0, 3, 20), lens)
+
+    bucketed = datagen.BucketedDataset([X], y, lens)
+    flat = datagen.PaddedDataset([X], y, lens)
+    flat_waste = 1.0 - lens.sum() / (flat.n * flat.max_timesteps)
+    assert bucketed.padded_frame_fraction() < flat_waste
+    assert bucketed.n == 20
+
+    # all batches carry the right data: reassemble and compare frames
+    seen_videos = 0
+    offsets = np.asarray(datagen.compute_integral_len(lens))
+    for b, streams, yy, mask, idxs in bucketed.epoch_batches(
+            4, rng=np.random.RandomState(1)):
+        bound = bucketed.boundaries[b]
+        assert streams[0].shape[1] == bound
+        vid_ids = bucketed.bucket_video_idxs[b][idxs]
+        for row, vid in enumerate(vid_ids):
+            l = min(int(lens[vid]), bound)
+            np.testing.assert_allclose(streams[0][row, :l],
+                                       X[offsets[vid]:offsets[vid] + l])
+            assert mask[row].sum() == l
+            assert yy[row] == y[offsets[vid]]
+        seen_videos += len(idxs)
+    assert seen_videos == 20

@@ -238,3 +238,18 @@ def test_convae_gradients():
     leaves = jax.tree_util.tree_leaves(g)
     assert all(np.isfinite(np.asarray(l)).all() for l in leaves)
     assert np.abs(np.asarray(g["conv1"]["w"])).sum() > 0
+
+
+def test_bfloat16_matmul_accuracy():
+    """bf16 matmul operands (f32 accumulation) keep predictions stable."""
+    cfg32 = zoo.adenet_v2(40, 10, ENC[1], ENC[0], lstm_size=16, window=4,
+                          output_classes=5)
+    cfg16 = adenet.AdeNetConfig(**{**cfg32.__dict__, "matmul_dtype": "bfloat16"})
+    params = adenet.init_adenet_params(KEY, cfg32)
+    rng = np.random.RandomState(0)
+    inputs = [jnp.asarray(rng.randn(4, 10, d).astype(np.float32)) for d in (40, 10)]
+    mask = jnp.ones((4, 10), jnp.float32)
+    p32 = np.asarray(adenet.adenet_forward(params, cfg32, inputs, mask))
+    p16 = np.asarray(adenet.adenet_forward(params, cfg16, inputs, mask))
+    assert np.abs(p32 - p16).max() < 0.05
+    np.testing.assert_array_equal(p32.argmax(-1), p16.argmax(-1))

@@ -95,3 +95,17 @@ def test_trainer_checkpoint_and_resume(tmp_path):
     r2 = trainer2.fit(([X], y, lens), ([X], y, lens), ([X], y, lens))
     assert len(r2.cost_val) == 5  # 3 restored + 2 new
     assert checkpoints.latest_step(ckdir) == 5
+
+
+def test_trainer_adam_vlr():
+    """Variable per-layer learning rates (runners/1stream_variable_lr.py)."""
+    X, y, lens = make_synthetic(20)
+    cfg = zoo.lstm_classifier_majority_vote(12, lstm_size=8, output_classes=4)
+    opts = TrainOptions(num_epoch=2, epochsize=4, batchsize=8, learning_rate=0.01,
+                        optimizer="adam_vlr",
+                        lr_map_config={"output": 0.05, "aggregator": 0.001},
+                        validation_window=50, seed=0, log_fn=lambda s: None)
+    trainer = Trainer(cfg, opts)
+    result = trainer.fit(([X], y, lens), ([X], y, lens), ([X], y, lens))
+    assert np.isfinite(result.cost_val).all()
+    assert result.epochs_run == 2
