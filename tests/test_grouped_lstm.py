@@ -83,3 +83,39 @@ def test_adenet_fused_vs_unfused_forward():
     out_off = adenet.adenet_forward(params, cfg_off, inputs, mask, train=False)
     np.testing.assert_allclose(np.asarray(out_on), np.asarray(out_off),
                                rtol=1e-5, atol=1e-6)
+
+
+def test_pallas_lstm_kernel_interpret_matches_scan():
+    """Pallas LSTM recurrence (interpret mode) == XLA scan, fwd and bwd."""
+    from ip_avsr_tpu.ops.pallas import lstm_kernel
+
+    key = jax.random.PRNGKey(0)
+    params = lstm.init_lstm_params(key, 7, 6)
+    params["cell_init"] = jnp.asarray(
+        np.random.RandomState(1).randn(1, 6).astype(np.float32))
+    params["hid_init"] = jnp.asarray(
+        np.random.RandomState(2).randn(1, 6).astype(np.float32))
+    x = jnp.asarray(np.random.RandomState(3).randn(5, 9, 7).astype(np.float32))
+    mask = np.ones((5, 9), np.float32)
+    mask[2, 5:] = 0
+    mask = jnp.asarray(mask)
+    for bwd in (False, True):
+        ref = lstm.lstm_forward(params, x, mask, backwards=bwd)
+        got = lstm_kernel.lstm_forward_pallas(params, x, mask, backwards=bwd,
+                                              matmul_dtype=None, block_b=5,
+                                              interpret=True)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-6)
+
+
+def test_pallas_lstm_batch_padding():
+    """Batch sizes that don't divide block_b are padded and sliced back."""
+    from ip_avsr_tpu.ops.pallas import lstm_kernel
+
+    params = lstm.init_lstm_params(jax.random.PRNGKey(0), 4, 6)
+    x = jnp.asarray(np.random.RandomState(0).randn(3, 5, 4).astype(np.float32))
+    mask = jnp.ones((3, 5), jnp.float32)
+    ref = lstm.lstm_forward(params, x, mask)
+    got = lstm_kernel.lstm_forward_pallas(params, x, mask, matmul_dtype=None,
+                                          block_b=2, interpret=True)
+    assert got.shape == (3, 5, 6)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-6)
