@@ -1,1 +1,14 @@
-from ip_avsr_tpu.ops import delta, dct, fusion, initializers, losses, lstm, nonlinearities, voting  # noqa: F401
+from ip_avsr_tpu.ops import (  # noqa: F401
+    dct,
+    delta,
+    fusion,
+    initializers,
+    lcn,
+    losses,
+    lstm,
+    nonlinearities,
+    normalization,
+    pipeline,
+    pooling,
+    voting,
+)

@@ -164,10 +164,35 @@ class Trainer:
                 jnp.asarray(y) if y is not None else None,
                 jnp.asarray(mask))
 
-    def evaluate(self, params, streams, y, mask):
-        """Classification rate + confusion matrix on one (padded) batch."""
-        dev_streams, _, dev_mask = self._device_batch(streams, None, mask)
-        probs = np.asarray(self.predict(params, dev_streams, dev_mask))[: len(mask)]
+    def evaluate(self, params, streams, y, mask, eval_batchsize: int = 512):
+        """Classification rate + confusion matrix over a split.
+
+        Runs prediction in fixed-size chunks (padded to ``eval_batchsize``)
+        so arbitrarily large splits evaluate under one compiled shape instead
+        of one giant whole-split program (the reference evaluates the whole
+        split in a single batch, runners/4stream.py:370-389 — fine for its
+        dataset sizes, not for production-scale ones).
+        """
+        n = len(mask)
+        if n > eval_batchsize:
+            chunks = []
+            for start in range(0, n, eval_batchsize):
+                sl = slice(start, start + eval_batchsize)
+                pad_to = eval_batchsize
+                sub = [s[sl] for s in streams]
+                sub_mask = np.asarray(mask)[sl]
+                if len(sub_mask) < pad_to:
+                    sub = [np.concatenate([x, np.zeros((pad_to - len(x),) + x.shape[1:],
+                                                       x.dtype)]) for x in sub]
+                    sub_mask = np.concatenate(
+                        [sub_mask, np.zeros((pad_to - len(sub_mask),) + sub_mask.shape[1:],
+                                            sub_mask.dtype)])
+                dev_streams, _, dev_mask = self._device_batch(sub, None, sub_mask)
+                chunks.append(np.asarray(self.predict(params, dev_streams, dev_mask)))
+            probs = np.concatenate(chunks)[:n]
+        else:
+            dev_streams, _, dev_mask = self._device_batch(streams, None, mask)
+            probs = np.asarray(self.predict(params, dev_streams, dev_mask))[:n]
         valid = np.asarray(mask).sum(axis=1) > 0
         if self.config.output_mode == "per_step":
             cr, conf, preds = evaluation.evaluate_majority_vote(

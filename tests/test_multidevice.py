@@ -113,3 +113,17 @@ def test_entry_compiles_tiny():
     out = fn(params, *inputs, mask)
     assert out.shape[0] == inputs[0].shape[0]
     assert np.isfinite(np.asarray(out)).all()
+
+
+def test_multihost_helper_single_process():
+    """global_batch_from_local degrades to a sharded device_put on one host."""
+    from ip_avsr_tpu.parallel import multihost
+
+    m = mesh_lib.make_mesh()
+    sl = multihost.process_local_slice(16)
+    assert sl == slice(0, 16)  # single-process: this host owns every row
+    x = np.arange(16 * 3, dtype=np.float32).reshape(16, 3)
+    arr = multihost.global_batch_from_local(m, x)
+    assert arr.shape == (16, 3)
+    np.testing.assert_allclose(np.asarray(arr), x)
+    assert len(arr.sharding.device_set) == 8

@@ -109,3 +109,22 @@ def test_trainer_adam_vlr():
     result = trainer.fit(([X], y, lens), ([X], y, lens), ([X], y, lens))
     assert np.isfinite(result.cost_val).all()
     assert result.epochs_run == 2
+
+
+def test_trainer_chunked_evaluation():
+    """Large splits evaluate in fixed-size chunks with identical results."""
+    X, y, lens = make_synthetic(40)
+    cfg = zoo.lstm_classifier_majority_vote(12, lstm_size=8, output_classes=4)
+    opts = TrainOptions(num_epoch=1, epochsize=2, batchsize=8, learning_rate=0.01,
+                        validation_window=50, seed=0, log_fn=lambda s: None)
+    trainer = Trainer(cfg, opts)
+    params = trainer.init_params(__import__("jax").random.PRNGKey(0))
+    from ip_avsr_tpu.data.datagen import PaddedDataset
+    ds = PaddedDataset([X], y, lens)
+    streams, yy, mask = ds.gather(np.arange(ds.n))
+    cr_whole, conf_whole = trainer.evaluate(params, streams, yy, mask,
+                                            eval_batchsize=512)
+    cr_chunk, conf_chunk = trainer.evaluate(params, streams, yy, mask,
+                                            eval_batchsize=8)
+    assert cr_whole == cr_chunk
+    np.testing.assert_array_equal(conf_whole, conf_chunk)
