@@ -178,18 +178,17 @@ class Trainer:
             chunks = []
             for start in range(0, n, eval_batchsize):
                 sl = slice(start, start + eval_batchsize)
-                pad_to = eval_batchsize
-                sub = [s[sl] for s in streams]
-                sub_mask = np.asarray(mask)[sl]
-                if len(sub_mask) < pad_to:
-                    sub = [np.concatenate([x, np.zeros((pad_to - len(x),) + x.shape[1:],
-                                                       x.dtype)]) for x in sub]
-                    sub_mask = np.concatenate(
-                        [sub_mask, np.zeros((pad_to - len(sub_mask),) + sub_mask.shape[1:],
-                                            sub_mask.dtype)])
+                valid = min(n - start, eval_batchsize)
+                arrays, _ = mesh_lib.pad_batch_to_multiple(
+                    [np.asarray(s[sl]) for s in streams] + [np.asarray(mask)[sl]],
+                    eval_batchsize)
+                sub, sub_mask = arrays[:-1], arrays[-1]
                 dev_streams, _, dev_mask = self._device_batch(sub, None, sub_mask)
-                chunks.append(np.asarray(self.predict(params, dev_streams, dev_mask)))
-            probs = np.concatenate(chunks)[:n]
+                # slice off both the chunk padding and any device-multiple
+                # padding _device_batch added, keeping only the valid rows
+                chunks.append(np.asarray(self.predict(params, dev_streams,
+                                                      dev_mask))[:valid])
+            probs = np.concatenate(chunks)
         else:
             dev_streams, _, dev_mask = self._device_batch(streams, None, mask)
             probs = np.asarray(self.predict(params, dev_streams, dev_mask))[:n]

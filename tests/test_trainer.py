@@ -128,3 +128,23 @@ def test_trainer_chunked_evaluation():
                                             eval_batchsize=8)
     assert cr_whole == cr_chunk
     np.testing.assert_array_equal(conf_whole, conf_chunk)
+
+
+def test_trainer_chunked_eval_with_mesh_padding():
+    """Chunk size not divisible by the mesh keeps rows aligned (regression:
+    device-multiple padding used to leak garbage rows into the concat)."""
+    X, y, lens = make_synthetic(30)
+    cfg = zoo.lstm_classifier_majority_vote(12, lstm_size=8, output_classes=4)
+    opts = TrainOptions(num_epoch=1, epochsize=1, batchsize=8, learning_rate=0.01,
+                        validation_window=50, seed=0, log_fn=lambda s: None,
+                        use_mesh=True)
+    trainer = Trainer(cfg, opts)
+    params = trainer.init_params(__import__("jax").random.PRNGKey(0))
+    from ip_avsr_tpu.data.datagen import PaddedDataset
+    ds = PaddedDataset([X], y, lens)
+    streams, yy, mask = ds.gather(np.arange(ds.n))
+    # eval_batchsize 7: not a multiple of the 8-device mesh, chunks pad to 8
+    cr_a, conf_a = trainer.evaluate(params, streams, yy, mask, eval_batchsize=7)
+    cr_b, conf_b = trainer.evaluate(params, streams, yy, mask, eval_batchsize=512)
+    assert cr_a == cr_b
+    np.testing.assert_array_equal(conf_a, conf_b)
