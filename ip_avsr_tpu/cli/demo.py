@@ -69,8 +69,14 @@ def main(argv=None):
     predict = jax.jit(lambda p, streams, mask: adenet.adenet_forward(
         p, cfg, streams, mask, train=False))
 
-    classnames = (args.classnames.split(",") if args.classnames
-                  else clf.output_classnames or OULU_PHRASES[: clf.output_classes])
+    if args.classnames:
+        classnames = args.classnames.split(",")
+    elif clf.output_classnames:
+        classnames = clf.output_classnames
+    elif clf.output_classes <= len(OULU_PHRASES):
+        classnames = OULU_PHRASES[: clf.output_classes]
+    else:
+        classnames = [str(i) for i in range(clf.output_classes)]
 
     n = args.synthetic or 5
     data = [nstream.synthesize_dataset(n, d, clf.output_classes, seed=i)

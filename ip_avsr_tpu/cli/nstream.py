@@ -299,10 +299,10 @@ def _train_and_report(options, clf, tc, stream_cfgs,
 
 
 def _video_subjects(subjects_vec, vidlen_vec):
-    """Frame-level subjects -> per-video subjects via offsets."""
-    offsets = np.zeros(len(vidlen_vec), dtype=np.int64)
-    np.cumsum(np.asarray(vidlen_vec)[:-1], out=offsets[1:])
-    return np.asarray(subjects_vec)[offsets]
+    """Frame-level subjects -> per-video subjects via frame offsets."""
+    from ip_avsr_tpu.data.datagen import compute_integral_len
+
+    return np.asarray(subjects_vec)[np.asarray(compute_integral_len(vidlen_vec))]
 
 
 def _save_loss_plot(result, prefix):

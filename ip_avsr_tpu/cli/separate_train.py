@@ -46,7 +46,8 @@ def main(argv=None):
     ap.add_argument("--nonlinearities", default="sigmoid,sigmoid,sigmoid,linear")
     ap.add_argument("--lstm_units", type=int, default=250)
     ap.add_argument("--output-classes", type=int, default=10)
-    ap.add_argument("--use_blstm", action="store_true", default=True)
+    ap.add_argument("--use_blstm", action=argparse.BooleanOptionalAction, default=True,
+                    help="--no-use_blstm selects a unidirectional LSTM")
     ap.add_argument("--num_epoch", type=int, default=30)
     ap.add_argument("--epochsize", type=int, default=120)
     ap.add_argument("--batchsize", type=int, default=30)

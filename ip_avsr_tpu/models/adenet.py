@@ -240,7 +240,9 @@ def adenet_forward(
             x, new_bn = norm_ops.batch_norm_forward(sp["bn"], sp["bn_state"], x, train)
             aux["bn_state"][spec.name] = new_bn
         if spec.use_delta:
-            x = delta_layer(x, window)
+            # the Pallas delta kernel is forward-only (no vjp); under
+            # training/differentiation always take the XLA formulation
+            x = delta_layer(x, window, use_pallas="never" if train else "auto")
         x = _dropout(x, spec.dropout, rngs[i], train)
         stream_feats.append(x)
 

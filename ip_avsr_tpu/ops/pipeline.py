@@ -17,9 +17,14 @@ import jax.numpy as jnp
 from ip_avsr_tpu.ops.dct import compute_dct_features_device
 
 
-def samplewise_normalize(x: jnp.ndarray, eps: float = 0.0) -> jnp.ndarray:
+def samplewise_normalize(x: jnp.ndarray, eps: float = 1e-8) -> jnp.ndarray:
     """Per-frame zero-mean/unit-std over the feature axis
-    (data/preprocessing.normalize_input centralize semantics)."""
+    (data/preprocessing.normalize_input centralize semantics).
+
+    ``eps`` guards the all-zero pad frames of a padded batch: without it
+    0/0 NaNs leak through delta windows and the masked LSTM carry
+    (0 * NaN = NaN) and poison every timestep of shorter sequences.
+    """
     mean = jnp.mean(x, axis=-1, keepdims=True)
     centered = x - mean
     std = jnp.std(centered, axis=-1, keepdims=True)

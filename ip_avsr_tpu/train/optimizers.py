@@ -95,20 +95,27 @@ def generate_lr_map(params, lr_config: dict, default) -> Any:
     return jax.tree_util.tree_unflatten(treedef, rates)
 
 
-def adam_vlr(lr_map, beta1=0.9, beta2=0.999, epsilon=1e-8) -> Optimizer:
+def adam_vlr(lr_map, beta1=0.9, beta2=0.999, epsilon=1e-8, base_lr=None) -> Optimizer:
     """Adam whose step size per parameter is ``lr_map`` (a pytree congruent
-    with params). Matches custom/updates.py:35-99."""
+    with params). Matches custom/updates.py:35-99.
+
+    ``base_lr`` makes global schedules (decay, warmup) compose with the
+    per-parameter rates: when the training loop passes a ``learning_rate``,
+    every lr_map entry is scaled by ``learning_rate / base_lr``, so
+    lr_map expresses the ratios and the schedule moves the overall level.
+    """
 
     def init(params):
         return {"m": _zeros_like_tree(params), "v": _zeros_like_tree(params),
                 "t": jnp.zeros((), jnp.float32)}
 
     def apply(params, grads, state, learning_rate=None):
-        # the per-parameter rates in lr_map govern; the global learning_rate
-        # argument (passed by generic training loops) is ignored
-        del learning_rate
+        if learning_rate is not None and base_lr:
+            scale = learning_rate / base_lr
+        else:
+            scale = 1.0
         t = state["t"] + 1.0
-        corr = jnp.sqrt(1.0 - beta2 ** t) / (1.0 - beta1 ** t)
+        corr = scale * jnp.sqrt(1.0 - beta2 ** t) / (1.0 - beta1 ** t)
 
         def upd(p, g, m, v, lr):
             m_t = beta1 * m + (1.0 - beta1) * g

@@ -100,28 +100,51 @@ class Trainer:
         if self.optimizer is None:
             lr_map = opt_lib.generate_lr_map(params, self.options.lr_map_config or {},
                                              self.options.learning_rate)
-            self.optimizer = opt_lib.adam_vlr(lr_map)
+            self.optimizer = opt_lib.adam_vlr(lr_map,
+                                              base_lr=self.options.learning_rate)
             self._build_steps()
 
     # -- jitted steps -------------------------------------------------------
+
+    @property
+    def _has_bn(self):
+        return any(s.use_batchnorm for s in self.config.streams)
 
     def _loss(self, params, streams, y, mask, train, rng):
         out = adenet.adenet_forward(
             params, self.config, streams, mask,
             window=self.options.window, train=train, dropout_rng=rng,
+            return_aux=train and self._has_bn,
         )
+        aux = {}
+        if train and self._has_bn:
+            out, aux = out
         if self.config.output_mode == "per_step":
             y2d = jnp.repeat(y[:, None], mask.shape[1], axis=1)
-            return losses.temporal_softmax_loss(out, y2d, mask)
-        seq_weight = (jnp.sum(mask, axis=1) > 0)
-        return losses.categorical_crossentropy_masked(out, y, seq_weight)
+            loss = losses.temporal_softmax_loss(out, y2d, mask)
+        else:
+            seq_weight = (jnp.sum(mask, axis=1) > 0)
+            loss = losses.categorical_crossentropy_masked(out, y, seq_weight)
+        if train and self._has_bn:
+            return loss, aux
+        return loss
 
     def _build_steps(self):
         optimizer = self.optimizer
+        has_bn = self._has_bn
 
         def train_step(params, opt_state, streams, y, mask, rng, lr):
-            loss, grads = jax.value_and_grad(self._loss)(params, streams, y, mask, True, rng)
+            if has_bn:
+                (loss, aux), grads = jax.value_and_grad(self._loss, has_aux=True)(
+                    params, streams, y, mask, True, rng)
+            else:
+                loss, grads = jax.value_and_grad(self._loss)(
+                    params, streams, y, mask, True, rng)
+                aux = {"bn_state": {}}
             params, opt_state = optimizer.apply(params, grads, opt_state, learning_rate=lr)
+            # merge updated batch-norm running statistics (non-gradient state)
+            for name, new_bn in aux["bn_state"].items():
+                params["streams"][name]["bn_state"] = jax.lax.stop_gradient(new_bn)
             return params, opt_state, loss
 
         def eval_cost(params, streams, y, mask):
@@ -236,6 +259,11 @@ class Trainer:
                 opt_state = restored["opt_state"]
                 start_epoch = int(restored["step"])
                 restored_extra = restored.get("extra", {}) or {}
+                # advance the data-order / dropout RNG streams past the
+                # completed epochs so the resumed run doesn't re-train on the
+                # epoch-0 permutations and dropout masks
+                rng = np.random.RandomState(o.seed + start_epoch)
+                jrng = jax.random.PRNGKey(o.seed + start_epoch)
                 o.log_fn(f"resumed from {o.checkpoint_dir} at epoch {start_epoch}")
         if self.mesh is not None:
             params = mesh_lib.replicate(self.mesh, params)
@@ -253,6 +281,13 @@ class Trainer:
         STRIP = 3
         train_strip = np.zeros((STRIP,))
         val_window = CircularList(o.validation_window)
+        # restore the early-stop window so a resumed run's stop decision
+        # matches an uninterrupted one
+        for v in np.asarray(restored_extra.get("val_window", [])).reshape(-1):
+            val_window.push(float(v))
+        for i, v in enumerate(np.asarray(
+                restored_extra.get("train_strip", np.zeros(0))).reshape(-1)[:STRIP]):
+            train_strip[i] = v
         best_val = float(restored_extra.get("best_val", float("inf")))
         best_cr = float(restored_extra.get("best_cr", 0.0))
         test_cr = 0.0
@@ -316,7 +351,9 @@ class Trainer:
                     extra={"best_val": best_val, "best_cr": best_cr,
                            "best_params": best_params,
                            "cost_train": np.asarray(cost_train),
-                           "cost_val": np.asarray(cost_val)})
+                           "cost_val": np.asarray(cost_val),
+                           "val_window": np.asarray(list(val_window)),
+                           "train_strip": train_strip.copy()})
 
             if epoch >= o.validation_window and early_stop2(val_window, best_val,
                                                             o.validation_window):
