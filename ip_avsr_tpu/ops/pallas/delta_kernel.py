@@ -62,8 +62,34 @@ def _delta_kernel(x_ref, d_ref, a_ref, pad_ref, *, window: int, T: int, D: int):
     a_ref[0] = _fir(pad_ref, window, T)
 
 
-@functools.partial(jax.jit, static_argnums=(1,))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1,))
 def append_delta_pallas(x: jnp.ndarray, window: int) -> jnp.ndarray:
+    """(B, T, 3D) fused delta+accel via the Pallas kernel, differentiable.
+
+    The op is linear in x, so its VJP is the fixed transpose of the FIR; the
+    backward pass runs the XLA formulation's transpose (Pallas kernels have
+    no native autodiff), making the kernel safe inside training steps.
+    """
+    return _append_delta_pallas_impl(x, window)
+
+
+def _append_delta_fwd(x, window):
+    return _append_delta_pallas_impl(x, window), x.shape
+
+
+def _append_delta_bwd(window, shape, g):
+    from ip_avsr_tpu.ops import delta as delta_ops
+
+    zeros = jnp.zeros(shape, g.dtype)
+    _, vjp = jax.vjp(lambda v: delta_ops.append_delta_coeff(v, window), zeros)
+    return (vjp(g)[0],)
+
+
+append_delta_pallas.defvjp(_append_delta_fwd, _append_delta_bwd)
+
+
+@functools.partial(jax.jit, static_argnums=(1,))
+def _append_delta_pallas_impl(x: jnp.ndarray, window: int) -> jnp.ndarray:
     """(B, T, D) -> (B, T, 3D) fused delta+accel; grid over the batch axis."""
     B, T, D = x.shape
     kernel = functools.partial(_delta_kernel, window=window, T=T, D=D)
