@@ -73,6 +73,35 @@ def visualize_reconstruction(original, reconstructed, shape=(30, 40), savefilena
     plt.close(fig)
 
 
+def plot_confusion_matrix_image(cm, classnames, savefilename=None, cmap="Blues"):
+    """Render a confusion matrix as an annotated heatmap PNG — the graphical
+    counterpart of the tabulate tables (avletters/confusion_visualizer.py
+    role)."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    cm = np.asarray(cm)
+    fig, ax = plt.subplots(figsize=(max(4, len(classnames) * 0.5),) * 2)
+    im = ax.imshow(cm, cmap=cmap)
+    ax.set_xticks(range(len(classnames)), classnames, rotation=90)
+    ax.set_yticks(range(len(classnames)), classnames)
+    ax.set_xlabel("predicted")
+    ax.set_ylabel("actual")
+    thresh = cm.max() / 2.0 if cm.max() else 0.5
+    for i in range(cm.shape[0]):
+        for j in range(cm.shape[1]):
+            if cm[i, j]:
+                ax.text(j, i, str(cm[i, j]), ha="center", va="center",
+                        color="white" if cm[i, j] > thresh else "black", fontsize=8)
+    fig.colorbar(im)
+    fig.tight_layout()
+    if savefilename:
+        fig.savefig(savefilename)
+    plt.close(fig)
+
+
 def print_network(params, log_fn=print):
     """Dump parameter-tree shapes (the analogue of Lasagne print_network)."""
     import jax

@@ -112,3 +112,10 @@ def test_plotting_tile_and_loss(tmp_path):
     assert (tmp_path / "loss.png").exists()
     n = plotting.print_network({"a": {"w": np.zeros((3, 4))}}, log_fn=lambda s: None)
     assert n == 12
+
+
+def test_confusion_matrix_image(tmp_path):
+    cm = np.array([[5, 1], [2, 7]])
+    plotting.plot_confusion_matrix_image(cm, ["a", "b"],
+                                         savefilename=str(tmp_path / "cm.png"))
+    assert (tmp_path / "cm.png").exists()
