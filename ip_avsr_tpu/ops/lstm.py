@@ -235,9 +235,13 @@ def lstm_forward_grouped(
 
     w_in = jnp.stack([pad_w(p["w_in"]) for p in params_list])  # (G, Dmax, 4H)
     w_hid = jnp.stack([p["w_hid"] for p in params_list])  # (G, H, 4H)
-    b = jnp.stack([p["b"] for p in params_list])  # (G, 4H)
-    cell0 = jnp.stack([jnp.broadcast_to(p["cell_init"], (B, H)) for p in params_list])
-    hid0 = jnp.stack([jnp.broadcast_to(p["hid_init"], (B, H)) for p in params_list])
+    b = jnp.stack([p["b"] for p in params_list]).astype(f32)  # (G, 4H)
+    # carry must be f32 regardless of the stored param dtype (bf16 weights),
+    # or the scan's carry-in/carry-out types diverge
+    cell0 = jnp.stack([jnp.broadcast_to(p["cell_init"], (B, H))
+                       for p in params_list]).astype(f32)
+    hid0 = jnp.stack([jnp.broadcast_to(p["hid_init"], (B, H))
+                      for p in params_list]).astype(f32)
     if use_peepholes:
         w_ci = jnp.stack([p["w_cell_to_ingate"] for p in params_list])[:, None, :]
         w_cf = jnp.stack([p["w_cell_to_forgetgate"] for p in params_list])[:, None, :]

@@ -119,3 +119,20 @@ def test_pallas_lstm_batch_padding():
                                           block_b=2, interpret=True)
     assert got.shape == (3, 5, 6)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-6)
+
+
+def test_grouped_lstm_with_bf16_params():
+    """bf16-stored parameters must not break the scan carry dtype (regression:
+    bf16 cell_init leaked into the carry and crashed the scan)."""
+    key = jax.random.PRNGKey(0)
+    params = [lstm.init_lstm_params(k, 5, 6) for k in jax.random.split(key, 2)]
+    params16 = [jax.tree_util.tree_map(lambda x: x.astype(jnp.bfloat16), p)
+                for p in params]
+    x = jnp.asarray(np.random.RandomState(0).randn(3, 7, 5).astype(np.float32))
+    mask = jnp.ones((3, 7), jnp.float32)
+    outs = lstm.lstm_forward_grouped(params16, [x, x], mask, [False, True],
+                                     matmul_dtype=jnp.bfloat16)
+    ref = lstm.lstm_forward_grouped(params, [x, x], mask, [False, True])
+    for a, b in zip(outs, ref):
+        assert a.dtype == jnp.float32
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=0.05)
