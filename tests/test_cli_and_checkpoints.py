@@ -200,3 +200,14 @@ def test_nstream_itervec_split(tmp_path):
     res = nstream.main(["--config", str(tmp_path / "iv.ini"), "--split", "itervec"])
     # 10 test videos (iteration 3)
     assert res.test_conf.sum() == 10
+
+
+def test_evaluate_delta_features_cli(capsys):
+    from ip_avsr_tpu.cli import evaluate_delta_features
+
+    with_d, without_d = evaluate_delta_features.main(
+        ["--config", "configs/synthetic_1stream.ini", "--synthetic", "30",
+         "--num_epoch", "1"])
+    out = capsys.readouterr().out
+    assert "delta-feature ablation" in out
+    assert np.isfinite(with_d.best_val) and np.isfinite(without_d.best_val)
