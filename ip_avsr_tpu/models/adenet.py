@@ -240,9 +240,10 @@ def adenet_forward(
             x, new_bn = norm_ops.batch_norm_forward(sp["bn"], sp["bn_state"], x, train)
             aux["bn_state"][spec.name] = new_bn
         if spec.use_delta:
-            # the Pallas delta kernel is forward-only (no vjp); under
-            # training/differentiation always take the XLA formulation
-            x = delta_layer(x, window, use_pallas="never" if train else "auto")
+            # the Pallas kernel carries a custom VJP (the FIR is linear, so
+            # backward is its fixed transpose via the XLA formulation), so the
+            # same heuristic dispatch applies under training and inference
+            x = delta_layer(x, window)
         x = _dropout(x, spec.dropout, rngs[i], train)
         stream_feats.append(x)
 
