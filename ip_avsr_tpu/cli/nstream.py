@@ -263,6 +263,7 @@ def _train_and_report(options, clf, tc, stream_cfgs,
         use_mesh=options.mesh,
         checkpoint_dir=options.checkpoint_dir,
         resume=options.resume,
+        bucket_boundaries=tc.bucket_boundaries,
     )
 
     trainer = Trainer(model_cfg, topts)

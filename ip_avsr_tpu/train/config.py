@@ -68,6 +68,8 @@ class TrainingConfig:
     train_subjects_file: Optional[str] = None
     val_subjects_file: Optional[str] = None
     test_subjects_file: Optional[str] = None
+    # "auto", or comma-separated T upper bounds; None = global-max padding
+    bucket_boundaries: Optional[object] = None
 
 
 def load_config(path: str) -> configparser.ConfigParser:
@@ -156,7 +158,17 @@ def parse_training(cp: configparser.ConfigParser) -> TrainingConfig:
         train_subjects_file=_get(cp, sec, "train_subjects_file"),
         val_subjects_file=_get(cp, sec, "val_subjects_file"),
         test_subjects_file=_get(cp, sec, "test_subjects_file"),
+        bucket_boundaries=_parse_buckets(_get(cp, sec, "bucket_boundaries")),
     )
+
+
+def _parse_buckets(raw):
+    if not raw:
+        return None
+    raw = raw.strip()
+    if raw.lower() == "auto":
+        return "auto"
+    return [int(b) for b in raw.split(",")]
 
 
 def parse_legacy_config(cp: configparser.ConfigParser) -> dict:

@@ -32,7 +32,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ip_avsr_tpu.data.datagen import PaddedDataset
+from ip_avsr_tpu.data.datagen import BucketedDataset, PaddedDataset
 from ip_avsr_tpu.models import adenet
 from ip_avsr_tpu.ops import losses
 from ip_avsr_tpu.parallel import mesh as mesh_lib
@@ -64,6 +64,12 @@ class TrainOptions:
     seed: int = 42
     log_fn: Callable[[str], None] = print
     use_mesh: bool = False  # shard batches over all local devices
+    # length-bucketed training batches: None (off — pad every batch to the
+    # split's global max T, reference semantics utils/datagen.py:104),
+    # "auto" (50/75/100th-percentile boundaries), or an explicit list of
+    # inclusive T upper bounds.  One compiled train step per bucket shape;
+    # cuts padded-frame waste on long-tailed length distributions.
+    bucket_boundaries: Optional[object] = None
 
 
 @dataclasses.dataclass
@@ -241,7 +247,18 @@ class Trainer:
         if o.profile_dir:
             jax.profiler.start_trace(o.profile_dir)
 
-        train_ds = PaddedDataset(train_data[0], train_data[1], train_data[2])
+        if o.bucket_boundaries is not None:
+            bounds = (None if o.bucket_boundaries == "auto"
+                      else [int(b) for b in o.bucket_boundaries])
+            train_ds = BucketedDataset(train_data[0], train_data[1], train_data[2],
+                                       boundaries=bounds)
+            lens = np.asarray(train_data[2]).reshape(-1)
+            global_waste = 1.0 - lens.sum() / (len(lens) * lens.max())
+            o.log_fn(f"bucketed batches: boundaries={train_ds.boundaries}, "
+                     f"padded-frame fraction {train_ds.padded_frame_fraction():.3f} "
+                     f"(global-max padding: {global_waste:.3f})")
+        else:
+            train_ds = PaddedDataset(train_data[0], train_data[1], train_data[2])
         val_ds = PaddedDataset(val_data[0], val_data[1], val_data[2])
         test_ds = PaddedDataset(test_data[0], test_data[1], test_data[2])
 
@@ -373,16 +390,27 @@ class Trainer:
         return adenet.init_adenet_params(key, self.config, pretrained_encoders,
                                          pretrained_stream_lstms)
 
-    def _infinite_batches(self, ds: PaddedDataset, batchsize: int, rng):
+    def _infinite_batches(self, ds, batchsize: int, rng):
         """Shuffled video-level batches, statically padded to ``batchsize``
-        (and to a mesh multiple when data-parallel), forever."""
+        (and to a mesh multiple when data-parallel), forever.
+
+        With a :class:`BucketedDataset`, each batch carries its bucket's
+        static (batchsize, bound, D) shape — XLA compiles one train step per
+        bucket instead of one for the global max T."""
         pad_to = batchsize
         if self.mesh is not None:
             n_dev = self.mesh.devices.size
             pad_to = int(-(-batchsize // n_dev) * n_dev)
-        while True:
-            order = rng.permutation(ds.n)
-            for start in range(0, ds.n, batchsize):
-                idxs = order[start : start + batchsize]
-                streams, y, mask = ds.gather(idxs, pad_to=pad_to)
-                yield streams, y, mask
+        if isinstance(ds, BucketedDataset):
+            while True:
+                for b, streams, y, mask, idxs in ds.epoch_batches(batchsize, rng=rng):
+                    if len(mask) < pad_to:
+                        streams, y, mask = ds.buckets[b].gather(idxs, pad_to=pad_to)
+                    yield streams, y, mask
+        else:
+            while True:
+                order = rng.permutation(ds.n)
+                for start in range(0, ds.n, batchsize):
+                    idxs = order[start : start + batchsize]
+                    streams, y, mask = ds.gather(idxs, pad_to=pad_to)
+                    yield streams, y, mask

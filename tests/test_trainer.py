@@ -148,3 +148,58 @@ def test_trainer_chunked_eval_with_mesh_padding():
     cr_b, conf_b = trainer.evaluate(params, streams, yy, mask, eval_batchsize=512)
     assert cr_a == cr_b
     np.testing.assert_array_equal(conf_a, conf_b)
+
+
+def make_long_tail_synthetic(n_videos=40, classes=4, dim=12, seed=0):
+    """Mostly-short sequences with a few long outliers (bucketing payoff case)."""
+    rng = np.random.RandomState(seed)
+    lens = rng.randint(4, 9, n_videos)
+    lens[:: n_videos // 4] = rng.randint(24, 33, len(lens[:: n_videos // 4]))
+    y_video = rng.randint(0, classes, n_videos)
+    frames, y_frames = [], []
+    for l, c in zip(lens, y_video):
+        base = np.zeros(dim)
+        base[c] = 3.0
+        frames.append(base + 0.3 * rng.randn(l, dim))
+        y_frames.append(np.full(l, c))
+    return np.concatenate(frames).astype(np.float32), np.concatenate(y_frames), lens
+
+
+def test_trainer_bucketed_batches():
+    """Opt-in length bucketing: fewer padded frames than global-max padding,
+    the waste is reported in the log, and training still learns the task."""
+    X, y, lens = make_long_tail_synthetic(40)
+    Xv, yv, lensv = make_long_tail_synthetic(12, seed=1)
+    Xt, yt, lenst = make_long_tail_synthetic(12, seed=2)
+    logs = []
+    cfg = zoo.lstm_classifier_majority_vote(12, lstm_size=12, output_classes=4)
+    opts = TrainOptions(num_epoch=6, epochsize=8, batchsize=8, learning_rate=0.01,
+                        validation_window=50, seed=0, log_fn=logs.append,
+                        bucket_boundaries="auto")
+    trainer = Trainer(cfg, opts)
+    result = trainer.fit(([X], y, lens), ([Xv], yv, lensv), ([Xt], yt, lenst))
+
+    from ip_avsr_tpu.data.datagen import BucketedDataset
+    ds = BucketedDataset([X], y, lens)
+    global_waste = 1.0 - lens.sum() / (len(lens) * lens.max())
+    assert ds.padded_frame_fraction() < global_waste * 0.6
+    assert any("bucketed batches" in line for line in logs)
+    assert result.best_cr > 0.6, result.class_rate
+
+
+def test_trainer_bucketed_matches_unbucketed_quality():
+    """Single boundary at the global max T degenerates to the unbucketed
+    padding scheme; final quality must match the plain path's."""
+    X, y, lens = make_synthetic(40)
+    Xv, yv, lensv = make_synthetic(12, seed=1)
+    Xt, yt, lenst = make_synthetic(12, seed=2)
+    cfg = zoo.lstm_classifier_majority_vote(12, lstm_size=12, output_classes=4)
+    results = []
+    for boundaries in (None, [int(lens.max())]):
+        opts = TrainOptions(num_epoch=6, epochsize=8, batchsize=8,
+                            learning_rate=0.01, validation_window=50, seed=0,
+                            log_fn=lambda s: None, bucket_boundaries=boundaries)
+        results.append(Trainer(cfg, opts).fit(
+            ([X], y, lens), ([Xv], yv, lensv), ([Xt], yt, lenst)))
+    assert results[0].best_cr > 0.6
+    assert abs(results[0].best_cr - results[1].best_cr) < 0.35
