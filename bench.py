@@ -1,13 +1,18 @@
-"""Benchmark: flagship trimodal AdeNet-v3 forward throughput (ROI -> logits).
+"""Benchmark: flagship trimodal AdeNet-v3 on TPU (ROI -> logits).
 
-Prints ONE JSON line:
+Prints one JSON line per metric; the HEADLINE metric is the last line:
   {"metric": "trimodal_fwd_utt_per_sec_per_chip", "value": N,
    "unit": "utterances/sec/chip", "vs_baseline": N / cpu_reference}
+Preceding lines report the full training-step throughput
+(trimodal_train_utt_per_sec_per_chip, denominator: the same train step
+compiled by XLA:CPU — a stand-in for Theano's compiled-C CPU training) and
+batch-1 serving latency (trimodal_serve_batch1_p50_ms, denominator: the
+reference-equivalent NumPy batch-1 forward; vs_baseline = cpu_ms / tpu_ms).
 
-The baseline denominator is the measured throughput of a reference-equivalent
+The forward denominator is the measured throughput of a reference-equivalent
 CPU implementation (pure NumPy: BLAS matmuls + per-timestep recurrence —
 what Theano compiled for the reference; the repo itself publishes no numbers,
-see BASELINE.md).  The denominator is cached in .bench_baseline.json after
+see BASELINE.md).  Denominators are cached in .bench_baseline.json after
 first measurement.
 
 Model/problem size: OuluVS trimodal (oulu/trimodal_with_val.py:378-382) —
@@ -122,6 +127,131 @@ def measure_tpu(batch, iters, matmul_dtype="bfloat16", tiny=False, bf16_params=T
     return batch * iters / dt
 
 
+def _make_train_step(cfg, lr=1e-4):
+    """One full training step (loss + grad + adam update) on the flagship
+    last-step-head model, mirroring Trainer._build_steps."""
+    import jax
+    import jax.numpy as jnp
+
+    from ip_avsr_tpu.models import adenet
+    from ip_avsr_tpu.ops import losses
+    from ip_avsr_tpu.train import optimizers as opt_lib
+
+    optimizer = opt_lib.adam(lr)
+
+    def loss_fn(params, streams, y, mask, rng):
+        out = adenet.adenet_forward(params, cfg, streams, mask, train=True,
+                                    dropout_rng=rng)
+        if out.ndim == 3:
+            y2d = jnp.repeat(y[:, None], mask.shape[1], axis=1)
+            return losses.temporal_softmax_loss(out, y2d, mask)
+        seq_weight = jnp.sum(mask, axis=1) > 0
+        return losses.categorical_crossentropy_masked(out, y, seq_weight)
+
+    def train_step(params, opt_state, streams, y, mask, rng):
+        loss, grads = jax.value_and_grad(loss_fn)(params, streams, y, mask, rng)
+        params, opt_state = optimizer.apply(params, grads, opt_state)
+        return params, opt_state, loss
+
+    return optimizer, train_step
+
+
+def measure_train(batch, iters, matmul_dtype="bfloat16", device=None):
+    """Training-step throughput.  Iterations chain through the parameter
+    carry (step i+1 consumes step i's updated params), so the host fetch at
+    the end necessarily covers all ``iters`` sequential steps — the same
+    airtight-timing discipline as measure_tpu."""
+    import jax
+    import jax.numpy as jnp
+
+    cfg, params, inputs, mask = build(batch, matmul_dtype)
+    # training always runs the XLA LSTM scan (the Pallas LSTM kernel is
+    # inference-only); keep f32 parameters, bf16 matmuls
+    from ip_avsr_tpu.models import adenet
+
+    cfg = adenet.AdeNetConfig(**{**cfg.__dict__, "lstm_impl": "xla"})
+    device = device or jax.devices()[0]
+    optimizer, train_step = _make_train_step(cfg)
+    params = jax.device_put(params, device)
+    opt_state = jax.device_put(optimizer.init(params), device)
+    y = np.random.RandomState(1).randint(0, 10, batch).astype(np.int32)
+
+    @jax.jit
+    def chained(params, opt_state, raw, dct, diff, y, mask, n):
+        def body(i, carry):
+            params, opt_state, acc = carry
+            rng = jax.random.fold_in(jax.random.PRNGKey(0), i)
+            params, opt_state, loss = train_step(
+                params, opt_state, [raw, dct, diff], y, mask, rng)
+            return params, opt_state, acc + loss.astype(jnp.float32)
+        params, opt_state, acc = jax.lax.fori_loop(
+            0, n, body, (params, opt_state, jnp.float32(0.0)))
+        return acc
+
+    args = [jax.device_put(x, device) for x in inputs]
+    y_d = jax.device_put(y, device)
+    mask_d = jax.device_put(mask, device)
+    _ = float(chained(params, opt_state, *args, y_d, mask_d, 1))  # compile+warmup
+    t0 = time.perf_counter()
+    acc = float(chained(params, opt_state, *args, y_d, mask_d, iters))
+    dt = time.perf_counter() - t0
+    assert np.isfinite(acc)
+    return batch * iters / dt
+
+
+def measure_train_cpu_reference(batch=16, iters=2):
+    """Denominator for the train metric: the identical step compiled by
+    XLA:CPU (single host device) — a reference-equivalent CPU training path."""
+    import jax
+
+    return measure_train(batch, iters, matmul_dtype=None,
+                         device=jax.devices("cpu")[0])
+
+
+def measure_serving_latency(n_calls=50, matmul_dtype="bfloat16"):
+    """Batch-1 p50 latency (ms) through the raw-pixels->scores server.
+
+    Each call ends in a host fetch, so every sample covers a full round trip
+    (including the device-tunnel hop — that IS the serving latency here)."""
+    import jax
+    import jax.numpy as jnp
+
+    from ip_avsr_tpu import serve as serve_lib
+
+    cfg, params, inputs, mask = build(1, matmul_dtype)
+    params = jax.tree_util.tree_map(
+        lambda x: x.astype(jnp.bfloat16) if x.dtype == jnp.float32 else x, params)
+    device = jax.devices()[0]
+    params = jax.device_put(params, device)
+    # OuluVS ROI geometry: 1144 = 26 x 44 (oulu/trimodal_with_val.py:289-305)
+    server = serve_lib.make_trimodal_server(params, cfg, (26, 44), 90)
+    raw = jax.device_put(inputs[0], device)
+    m = jax.device_put(mask, device)
+    out = np.asarray(server(raw, m))  # compile + warmup
+    assert np.isfinite(out).all()
+    times = []
+    for _ in range(n_calls):
+        t0 = time.perf_counter()
+        np.asarray(server(raw, m))
+        times.append(time.perf_counter() - t0)
+    return float(np.median(times) * 1e3)
+
+
+def measure_serving_latency_cpu_reference(n_calls=3):
+    """Reference serve path: batch-1 NumPy forward (oulu/demo.py:447)."""
+    from ip_avsr_tpu.reference_impl import adenet_forward_np
+
+    cfg, params, inputs, mask = build(1, None)
+    host_params = _to_numpy(params)
+    adenet_forward_np(host_params, cfg, inputs, mask)  # warmup
+    times = []
+    for _ in range(n_calls):
+        t0 = time.perf_counter()
+        adenet_forward_np(host_params, cfg, inputs, mask)
+        times.append(time.perf_counter() - t0)
+    return float(np.median(times) * 1e3)
+
+
 def measure_cpu_reference(batch=16, iters=2, tiny=False):
     from ip_avsr_tpu.reference_impl import adenet_forward_np
 
@@ -153,36 +283,69 @@ def main():
         batches = [args.batch or 512]
         iters = 10
         cpu_iters = 1
+        train_batches = [256]
+        train_iters = 5
+        latency_calls = 20
     else:
         batches = [args.batch] if args.batch else [512, 1024, 2048]
         iters = 20
         cpu_iters = 3
+        train_batches = [128, 256, 512]
+        train_iters = 10
+        latency_calls = 50
 
-    # denominator: reference-equivalent CPU throughput (cached)
-    cache_key = "tiny" if tiny else "full"
-    baseline = None
-    if os.path.exists(_CACHE) and not args.refresh_baseline:
-        try:
-            baseline = json.load(open(_CACHE)).get(cache_key)
-        except Exception:
-            baseline = None
-    if baseline is None:
-        cpu_tput = measure_cpu_reference(batch=16, iters=cpu_iters, tiny=tiny)
-        baseline = {"utt_per_sec": cpu_tput, "batch": 16}
+    # denominators: reference-equivalent CPU measurements (cached)
+    def cached(key, measure):
+        if not args.refresh_baseline and os.path.exists(_CACHE):
+            try:
+                v = json.load(open(_CACHE)).get(key)
+                if v is not None:
+                    return v
+            except Exception:
+                pass
+        v = measure()
         cache = {}
         if os.path.exists(_CACHE):
             try:
                 cache = json.load(open(_CACHE))
             except Exception:
                 cache = {}
-        cache[cache_key] = baseline
+        cache[key] = v
         json.dump(cache, open(_CACHE, "w"))
+        return v
+
+    cache_key = "tiny" if tiny else "full"
+    baseline = cached(cache_key, lambda: {
+        "utt_per_sec": measure_cpu_reference(batch=16, iters=cpu_iters, tiny=tiny),
+        "batch": 16})
+    train_baseline = cached("train_cpu", lambda: {
+        "utt_per_sec": measure_train_cpu_reference(batch=16, iters=2), "batch": 16})
+    latency_baseline = cached("serve_cpu_ms", measure_serving_latency_cpu_reference)
+
+    best_train = 0.0
+    for b in train_batches:
+        best_train = max(best_train, measure_train(b, train_iters))
+    print(json.dumps({
+        "metric": "trimodal_train_utt_per_sec_per_chip",
+        "value": round(best_train, 2),
+        "unit": "utterances/sec/chip",
+        "vs_baseline": round(best_train / train_baseline["utt_per_sec"], 2),
+    }))
+
+    p50 = measure_serving_latency(latency_calls)
+    print(json.dumps({
+        "metric": "trimodal_serve_batch1_p50_ms",
+        "value": round(p50, 3),
+        "unit": "ms",
+        "vs_baseline": round(latency_baseline / p50, 2),  # speedup vs CPU serve
+    }))
 
     best = 0.0
     for b in batches:
         tput = measure_tpu(b, iters, tiny=tiny)
         best = max(best, tput)
 
+    # HEADLINE metric: keep as the final line
     print(json.dumps({
         "metric": "trimodal_fwd_utt_per_sec_per_chip",
         "value": round(best, 2),
