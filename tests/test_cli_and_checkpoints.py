@@ -245,3 +245,78 @@ def test_leave_one_out_split_and_run(tmp_path):
     # unknown subject id is an explicit error
     with pytest.raises(ValueError):
         leave_one_out.loo_split_ids(subjects, 9999)
+
+
+def test_dbn_pretrain_export_import_train_roundtrip(tmp_path):
+    """The full MATLAB-ABI loop in one test: tiny DBN pretraining ->
+    unfold-to-AE -> extract_nn -> .mat -> the CLI's pretrained-encoder path
+    -> training.  The reference spreads this across MATLAB trainDBN/extractNN
+    (dbn/extractNN.m:86-105) and Python load_decoder (runners/4stream.py:291-294)."""
+    import jax
+    import jax.numpy as jnp
+
+    from ip_avsr_tpu.cli import nstream
+    from ip_avsr_tpu.models import encoder as encoder_mod
+    from ip_avsr_tpu.pretrain import dbn as dbn_lib, rbm as rbm_lib, unfold
+    from ip_avsr_tpu.reference_impl import encoder_forward_np
+
+    rng = np.random.RandomState(0)
+    dim, hidden, acts = 16, [12, 8, 4], ["sigm", "sigm", "linear"]
+
+    # dataset .mat (AVLetters-style schema)
+    n = 24
+    lens = rng.randint(6, 12, n)
+    y = rng.randint(1, 4, n)
+    frames = []
+    for l, c in zip(lens, y):
+        base = np.zeros(dim, np.float32)
+        base[c - 1] = 2.0
+        frames.append(1.0 / (1 + np.exp(-(base + 0.4 * rng.randn(l, dim)))))
+    X = np.concatenate(frames).astype(np.float32)
+    matio.save_mat({"dataMatrix": X,
+                    "targetsVec": np.repeat(y, lens).reshape(-1, 1),
+                    "subjectsVec": rng.randint(1, 7, n).reshape(-1, 1),
+                    "videoLengthVec": lens.reshape(-1, 1),
+                    "iterVec": np.tile([1, 2, 3], n // 3).reshape(-1, 1)},
+                   str(tmp_path / "ds.mat"))
+
+    # 1. pretrain a tiny DBN and export through the w1..wN/b1..bN ABI
+    hyper = rbm_lib.RBMHyperParams(epochs=2, batchsize=20)
+    dbn = dbn_lib.train_dbn(jax.random.PRNGKey(0), X, hidden, acts,
+                            hyper=hyper, log_fn=lambda s: None)
+    nn = unfold.unfold_dbn_to_nn(dbn, 1, hidden, acts, "linear", dim)
+    matio.save_mat(unfold.extract_nn(nn), str(tmp_path / "ae.mat"))
+
+    # 2. the CLI loader path reproduces the exact exported encoder forward
+    w, b, shapes, nls = matio.load_decoder(str(tmp_path / "ae.mat"), "12,8,4",
+                                           "sigmoid,sigmoid,linear")
+    assert [wi.shape for wi in w] == [(16, 12), (12, 8), (8, 4)]
+    enc_params = encoder_mod.pretrained_encoder_params(w, b)
+    probe = rng.randn(5, dim).astype(np.float32)
+    got = np.asarray(encoder_mod.encoder_forward(enc_params, jnp.asarray(probe), nls))
+    want = encoder_forward_np(enc_params, probe, nls)
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+    # 3. train through the CLI with the pretrained encoder; at lr=0 the
+    # best-model encoder must still carry the .mat weights, proving the
+    # pretrained path flowed through config -> load_decoder -> init -> fit
+    cfg = (open("configs/synthetic_1stream.ini").read()
+           .replace("data = synthetic", f"data = {tmp_path / 'ds.mat'}")
+           .replace("input_dimensions = 24", "input_dimensions = 16")
+           .replace("shape = 32,16,8", "shape = 12,8,4")
+           .replace("[stream1]", f"[stream1]\nmodel = {tmp_path / 'ae.mat'}")
+           .replace("output_classes = 5", "output_classes = 3")
+           .replace("output_classnames = c0,c1,c2,c3,c4", "output_classnames = a,b,c")
+           .replace("matlab_target_offset = false", "matlab_target_offset = true")
+           .replace("learning_rate = 0.003", "learning_rate = 0.0")
+           .replace("num_epoch = 4", "num_epoch = 1")
+           .replace("epochsize = 10", "epochsize = 2"))
+    (tmp_path / "roundtrip.ini").write_text(cfg)
+    res = nstream.main(["--config", str(tmp_path / "roundtrip.ini"),
+                        "--split", "itervec"])
+    assert np.isfinite(res.best_val)
+    (stream_params,) = res.best_params["streams"].values()
+    trained_enc = stream_params["encoder"]
+    for i, name in enumerate(["fc1", "fc2", "fc3"]):
+        np.testing.assert_allclose(np.asarray(trained_enc[name]["w"]),
+                                   np.asarray(w[i], np.float32), rtol=1e-6)
