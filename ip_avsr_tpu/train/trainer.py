@@ -70,6 +70,11 @@ class TrainOptions:
     # inclusive T upper bounds.  One compiled train step per bucket shape;
     # cuts padded-frame waste on long-tailed length distributions.
     bucket_boundaries: Optional[object] = None
+    # multi-host input assembly: each process contributes only its local rows
+    # of the global batch (jax.make_array_from_process_local_data over DCN).
+    # Requires use_mesh; on a single-process runtime it reduces to the same
+    # sharded device_put as the plain path.
+    multihost: bool = False
 
 
 @dataclasses.dataclass
@@ -180,14 +185,25 @@ class Trainer:
             n_dev = self.mesh.devices.size
             arrays = streams + [mask] + ([y] if y is not None else [])
             arrays, _ = mesh_lib.pad_batch_to_multiple(arrays, n_dev)
+            if self.options.multihost:
+                # each process contributes its local row range of the global
+                # batch; the global array is assembled shard-by-shard with no
+                # cross-host data movement (parallel/multihost.py).  Device
+                # counts are per-process multiples of the process count, so
+                # the n_dev padding above also satisfies the even-shard rule.
+                from ip_avsr_tpu.parallel import multihost
+
+                global_rows = arrays[0].shape[0]
+                sl = multihost.process_local_slice(global_rows)
+                arrays = multihost.global_batch_from_local(
+                    self.mesh, [a[sl] for a in arrays], global_batch=global_rows)
+            else:
+                arrays = [mesh_lib.shard_batch(self.mesh, jnp.asarray(a))
+                          for a in arrays]
             streams = arrays[: len(streams)]
             mask = arrays[len(streams)]
             if y is not None:
                 y = arrays[-1]
-            streams = mesh_lib.shard_batch(self.mesh, [jnp.asarray(s) for s in streams])
-            mask = mesh_lib.shard_batch(self.mesh, jnp.asarray(mask))
-            if y is not None:
-                y = mesh_lib.shard_batch(self.mesh, jnp.asarray(y))
             return streams, y, mask
         return ([jnp.asarray(s) for s in streams],
                 jnp.asarray(y) if y is not None else None,

@@ -203,3 +203,30 @@ def test_trainer_bucketed_matches_unbucketed_quality():
             ([X], y, lens), ([Xv], yv, lensv), ([Xt], yt, lenst)))
     assert results[0].best_cr > 0.6
     assert abs(results[0].best_cr - results[1].best_cr) < 0.35
+
+
+def test_trainer_multihost_single_process_path():
+    """multihost=True routes batches through the multi-host assembly API;
+    on one process the result must equal the plain sharded path exactly."""
+    import jax
+
+    X, y, lens = make_synthetic(24)
+    Xv, yv, lensv = make_synthetic(8, seed=1)
+    cfg = zoo.lstm_classifier_majority_vote(12, lstm_size=8, output_classes=4)
+    results = []
+    for mh in (False, True):
+        opts = TrainOptions(num_epoch=2, epochsize=3, batchsize=6,
+                            learning_rate=0.01, validation_window=50, seed=0,
+                            log_fn=lambda s: None, use_mesh=True, multihost=mh)
+        trainer = Trainer(cfg, opts)
+        results.append(trainer.fit(([X], y, lens), ([Xv], yv, lensv),
+                                   ([Xv], yv, lensv)))
+    # identical data order, RNG, and (on one process) identical device batches
+    np.testing.assert_allclose(results[0].cost_train, results[1].cost_train,
+                               rtol=1e-6)
+    np.testing.assert_allclose(results[0].cost_val, results[1].cost_val,
+                               rtol=1e-6)
+    leaves0 = jax.tree_util.tree_leaves(results[0].best_params)
+    leaves1 = jax.tree_util.tree_leaves(results[1].best_params)
+    for a, b in zip(leaves0, leaves1):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6)
