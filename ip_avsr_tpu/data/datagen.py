@@ -53,6 +53,25 @@ def _pack_batch(X, y, seqlen, integral_lens, idxs, max_timesteps, dtype=None):
     return X_batch, y_batch, mask
 
 
+def gen_lstm_seq_random(X, y, seqlen, rng=None):
+    """Infinite iterator of single random (seq_X, seq_y) sequences.
+
+    Mirrors utils/datagen.py:67-89: a fresh permutation of the videos each
+    pass, yielding one unpadded frame-major sequence (and its per-frame
+    targets) at a time.
+    """
+    rng = np.random if rng is None else rng
+    X = np.asarray(X)
+    y = np.asarray(y).reshape(-1)
+    seqlen = np.asarray(seqlen).reshape(-1).astype(np.int64)
+    integral_lens = compute_integral_len(seqlen)
+    while True:
+        for video_idx in rng.permutation(len(seqlen)):
+            start = integral_lens[video_idx]
+            end = start + int(seqlen[video_idx])
+            yield X[start:end], y[start:end]
+
+
 def gen_lstm_batch_random(X, y, seqlen, batchsize=30, shuffle=True, rng=None):
     """Infinite iterator of shuffled video-level batches.
 

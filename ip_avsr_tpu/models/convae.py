@@ -138,16 +138,22 @@ def _upscale(x):
     return jnp.repeat(jnp.repeat(x, 2, axis=2), 2, axis=3)
 
 
-def _bn(x, p, train, eps=1e-4):
-    axes = tuple(i for i in range(x.ndim) if i != 1)
+def _bn(x, p, eps=1e-4):
+    """Batch-statistics normalization over all axes but channel (axis 1 for
+    conv maps, the feature axis for 2-D dense activations).
+
+    Deliberately uses BATCH statistics in every mode: this conv-AE exists
+    only for pretraining, where the reference both trains and inspects
+    reconstructions on large full-set batches (avletters_convae.py:290-318),
+    so there is no separate small-batch inference regime that would need
+    Lasagne's running averages.  Use ops/normalization.batch_norm_forward
+    (which does keep running statistics) for models that serve.
+    """
+    axes = tuple(i for i in range(x.ndim) if i != 1) if x.ndim > 2 else (0,)
     mean = x.mean(axes, keepdims=True)
     var = x.var(axes, keepdims=True)
     shape = [1] * x.ndim
-    shape[1] = -1
-    if not train:
-        # pretraining-only model: batch statistics are used throughout, as the
-        # reference evaluates its conv-AE on large full-set batches
-        pass
+    shape[-1 if x.ndim == 2 else 1] = -1
     return (x - mean) / jnp.sqrt(var + eps) * p["gamma"].reshape(shape) + p["beta"].reshape(shape)
 
 
@@ -170,29 +176,28 @@ def convae_encode(params, config: ConvAEConfig, x, train=False, rng=None):
         x = _dropout(x, config.input_dropout, rngs[0], train)
     h = _conv(x, params["conv1"]["w"], params["conv1"]["b"])
     if config.use_batchnorm:
-        h = _bn(h, params["bn_conv1"], train)
+        h = _bn(h, params["bn_conv1"])
     h = act(h)
     h = _maxpool(h)
     if drop:
         h = _dropout(h, config.hidden_dropout, rngs[1], train)
     h = _conv(h, params["conv3"]["w"], params["conv3"]["b"])
     if config.use_batchnorm:
-        h = _bn(h, params["bn_conv3"], train)
+        h = _bn(h, params["bn_conv3"])
     h = act(h)
     h = _maxpool(h, pad_h=1)
     if drop:
         h = _dropout(h, config.hidden_dropout, rngs[2], train)
     h = _conv(h, params["conv5"]["w"], params["conv5"]["b"])
     if config.use_batchnorm:
-        h = _bn(h, params["bn_conv5"], train)
+        h = _bn(h, params["bn_conv5"])
     h = act(h)
     h = h.reshape(B, -1)
     if drop:
         h = _dropout(h, config.hidden_dropout, rngs[3], train)
     h = h @ params["dense7"]["w"] + params["dense7"]["b"]
     if config.use_batchnorm:
-        h = ((h - h.mean(0)) / jnp.sqrt(h.var(0) + 1e-4)
-             * params["bn_dense7"]["gamma"] + params["bn_dense7"]["beta"])
+        h = _bn(h, params["bn_dense7"])
     h = act(h)
     if drop:
         h = _dropout(h, config.hidden_dropout, rngs[4], train)

@@ -341,11 +341,29 @@ def init_blstm_params(key, input_dim, hidden, w_init=inits.glorot_uniform,
 def last_valid_step(outputs: jnp.ndarray, mask: Optional[jnp.ndarray]) -> jnp.ndarray:
     """Hidden state at each sequence's last *timestep* (index -1).
 
-    With Lasagne mask semantics a forward LSTM's padded tail carries the last
-    valid output, so slicing index -1 (SliceLayer(l_sum, -1), e.g.
-    modelzoo/deltanet.py:48) reads the last-valid forward state plus — in the
-    BLSTM case — the backward layer's learned initial state.  We therefore
-    simply take t = T-1, which is exactly what the reference computes.
+    PRECONDITION: ``outputs`` must come from a mask-CARRYING recurrence (this
+    module's lstm_forward / the Pallas LSTM kernel), whose padded tail holds
+    the last valid output.  Then slicing index -1 (SliceLayer(l_sum, -1),
+    e.g. modelzoo/deltanet.py:48) reads the last-valid forward state plus —
+    in the BLSTM case — the backward layer's learned initial state, exactly
+    what the reference computes; ``mask`` is intentionally unused.  For
+    upstream ops that zero (rather than carry) padded steps, use
+    :func:`last_valid_step_gathered` instead.
     """
     del mask
     return outputs[:, -1, :]
+
+
+def last_valid_step_gathered(outputs: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
+    """Gather each sequence's output at its true last valid frame.
+
+    Equivalent to :func:`last_valid_step` for a mask-carrying FORWARD
+    recurrence (tested), and correct even for upstreams that zero padded
+    steps.  NOT reference-equivalent for summed BLSTM outputs: there the
+    reference's index -1 deliberately reads the backward layer's learned
+    initial state at the padded tail, not its last-valid-frame state.
+    All-pad rows index frame 0.
+    """
+    lengths = jnp.sum(mask > 0, axis=1).astype(jnp.int32)
+    idx = jnp.maximum(lengths - 1, 0)
+    return jnp.take_along_axis(outputs, idx[:, None, None], axis=1)[:, 0, :]

@@ -53,6 +53,76 @@ def tile_raster_images(X, img_shape, tile_shape, tile_spacing=(1, 1)):
     return out
 
 
+def _save_tile(vis, savefilename, title):
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    fig, ax = plt.subplots()
+    ax.imshow(vis, cmap="gray")
+    ax.set_title(title)
+    ax.axis("off")
+    if savefilename:
+        fig.savefig(f"{savefilename}.png" if not str(savefilename).endswith(".png")
+                    else savefilename)
+    plt.close(fig)
+    return vis
+
+
+def visualize_images(images, shape=(30, 40), savefilename=None):
+    """Square tile grid of flattened images (utils/plotting_utils.py:163-171;
+    headless: renders to ``savefilename``.png instead of plt.show)."""
+    w = int(np.sqrt(len(images)))
+    vis = tile_raster_images(images, shape, (w, w), tile_spacing=(1, 1))
+    return _save_tile(vis, savefilename, "images")
+
+
+def visualize_sequence(sequence, shape=(30, 40), savefilename=None, title="sequence"):
+    """2-row tile of a frame sequence (utils/plotting_utils.py:174-183)."""
+    cols = int(np.ceil(len(sequence) / 2.0))
+    vis = tile_raster_images(sequence, shape, (2, cols), tile_spacing=(1, 1))
+    return _save_tile(vis, savefilename, title)
+
+
+def visualize_layer(weights, row, col, w, h, savefilename=None):
+    """Tile a weight matrix's columns as (row, col) filters in a (w, h) grid
+    (utils/plotting_utils.py:203-208; takes the array, not a Lasagne layer)."""
+    vis = tile_raster_images(np.asarray(weights).T, (row, col), (w, h),
+                             tile_spacing=(1, 1))
+    return _save_tile(vis, savefilename, "filters")
+
+
+def visualize_activations(weights, examples, shape, weight_idx_to_visualize,
+                          savefilename=None):
+    """Per-weight-column activation overlays vs raw examples
+    (utils/plotting_utils.py:211-223)."""
+    weights = np.asarray(weights)
+    outs = []
+    for i in weight_idx_to_visualize:
+        activations = weights[:, i] * np.asarray(examples)
+        name = f"{savefilename}_w{i}" if savefilename else None
+        outs.append(visualize_reconstruction(examples, activations, shape, name))
+    return outs
+
+
+def show_image(data, shape, order="f", savefilename=None):
+    """Render one flattened image (utils/plotting_utils.py:255-266; headless:
+    writes a PNG instead of opening a window)."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    img = np.asarray(data).reshape(shape, order=order)
+    fig, ax = plt.subplots()
+    ax.imshow(img, cmap="gray")
+    if savefilename:
+        fig.savefig(savefilename)
+    plt.close(fig)
+    return img
+
+
 def visualize_reconstruction(original, reconstructed, shape=(30, 40), savefilename=None):
     import matplotlib
 

@@ -119,3 +119,61 @@ def test_confusion_matrix_image(tmp_path):
     plotting.plot_confusion_matrix_image(cm, ["a", "b"],
                                          savefilename=str(tmp_path / "cm.png"))
     assert (tmp_path / "cm.png").exists()
+
+
+def test_plotting_visualize_family(tmp_path):
+    """visualize_images/sequence/layer/activations + show_image
+    (utils/plotting_utils.py:163-275), headless to PNG."""
+    rng = np.random.RandomState(0)
+    imgs = rng.rand(9, 24)
+    vis = plotting.visualize_images(imgs, (4, 6), tmp_path / "imgs")
+    assert vis.ndim == 2 and (tmp_path / "imgs.png").exists()
+    seq = plotting.visualize_sequence(imgs[:5], (4, 6), tmp_path / "seq")
+    assert seq.ndim == 2 and (tmp_path / "seq.png").exists()
+    filt = plotting.visualize_layer(rng.rand(24, 6), 4, 6, 2, 3,
+                                    tmp_path / "filters")
+    assert filt.ndim == 2 and (tmp_path / "filters.png").exists()
+    plotting.visualize_activations(rng.rand(24, 4), imgs[:4], (4, 6), [0, 2],
+                                   str(tmp_path / "act"))
+    assert (tmp_path / "act_w0.png").exists()
+    img = plotting.show_image(imgs[0], (4, 6), order="f",
+                              savefilename=str(tmp_path / "one.png"))
+    assert img.shape == (4, 6) and (tmp_path / "one.png").exists()
+
+
+def test_last_valid_step_gathered_matches_carry_forward_lstm():
+    """For a mask-carrying forward LSTM the true last-valid gather equals the
+    reference's t = T-1 slice (ops/lstm.py last_valid_step contract)."""
+    import jax
+
+    from ip_avsr_tpu.ops import lstm as lstm_ops
+
+    rng = np.random.RandomState(0)
+    B, T, D, H = 4, 9, 5, 7
+    params = lstm_ops.init_lstm_params(jax.random.PRNGKey(0), D, H)
+    x = rng.randn(B, T, D).astype(np.float32)
+    lens = np.array([9, 4, 1, 6])
+    mask = (np.arange(T)[None, :] < lens[:, None]).astype(np.float32)
+    out = lstm_ops.lstm_forward(params, x, mask)
+    a = np.asarray(lstm_ops.last_valid_step(out, mask))
+    b = np.asarray(lstm_ops.last_valid_step_gathered(out, mask))
+    np.testing.assert_allclose(a, b, rtol=1e-6, atol=1e-6)
+    # and gathered is robust to zeroed (non-carrying) padded steps
+    zeroed = np.asarray(out) * mask[:, :, None]
+    c = np.asarray(lstm_ops.last_valid_step_gathered(zeroed, mask))
+    np.testing.assert_allclose(a, c, rtol=1e-6, atol=1e-6)
+
+
+def test_confusion_visualizer_cli(tmp_path, capsys):
+    from ip_avsr_tpu.cli import confusion_visualizer
+
+    confusions, conf_mat = confusion_visualizer.main(
+        ["--config", "configs/synthetic_1stream.ini", "--synthetic", "12",
+         "--outdir", str(tmp_path / "cv"), "--max_renders", "1"])
+    out = capsys.readouterr().out
+    assert "misclassified" in out
+    assert conf_mat.sum() == 12
+    assert (tmp_path / "cv" / "confusion_matrix.png").exists()
+    if confusions:
+        truth_pngs = list((tmp_path / "cv").glob("utt*_truth_*.png"))
+        assert truth_pngs

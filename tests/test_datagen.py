@@ -155,3 +155,30 @@ def test_bucketed_dataset_reduces_padding_and_preserves_data():
             assert yy[row] == y[offsets[vid]]
         seen_videos += len(idxs)
     assert seen_videos == 20
+
+
+def test_gen_lstm_seq_random_contract():
+    """utils/datagen.py:67-89: one unpadded sequence at a time; every video
+    visited exactly once per pass before the permutation resets."""
+    from ip_avsr_tpu.data.datagen import gen_lstm_seq_random
+
+    rng = np.random.RandomState(0)
+    lens = np.array([3, 5, 2, 4])
+    X = rng.randn(int(lens.sum()), 6).astype(np.float32)
+    y = np.repeat(np.arange(4), lens)
+    gen = gen_lstm_seq_random(X, y, lens, rng=np.random.RandomState(1))
+    seen = []
+    for _ in range(len(lens)):
+        seq_X, seq_y = next(gen)
+        assert seq_X.shape[1] == 6
+        assert len(seq_X) == len(seq_y)
+        vid = int(seq_y[0])
+        assert (seq_y == vid).all()
+        assert len(seq_X) == lens[vid]
+        # frames are the exact contiguous slice of the video
+        start = int(lens[:vid].sum())
+        np.testing.assert_array_equal(seq_X, X[start : start + lens[vid]])
+        seen.append(vid)
+    assert sorted(seen) == [0, 1, 2, 3]
+    # the generator keeps going (new permutation)
+    next(gen)
