@@ -81,10 +81,12 @@ class AdeNetConfig:
     # Run independent LSTMs (parallel streams; BLSTM fwd/bwd halves) as one
     # grouped scan — T sequential steps instead of G*T (ops/lstm.py
     # lstm_forward_grouped). Numerically identical. Measured on v5e: helps
-    # small/latency-bound batches (B<=32, batch-1 serving) and HURTS
+    # small/latency-bound INFERENCE (B<=32, batch-1 serving), HURTS
     # throughput at large batch (B>=128: the per-step matmuls already
     # saturate the MXU and the group stacking/transposes add HBM traffic),
-    # so the default is off; enable for low-latency inference.
+    # and hurts TRAINING at every measured batch (the transposes are paid
+    # again in the backward pass — matrix in docs/DESIGN.md). Default off;
+    # enable for low-latency inference only.
     fuse_scans: bool = False
     # LSTM recurrence backend for inference (train=False): "xla" (lax.scan)
     # or "pallas" (ops/pallas/lstm_kernel.py: weights VMEM-resident, fused
