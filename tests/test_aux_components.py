@@ -1,6 +1,8 @@
 """Tests for auxiliary components: pooling, LCN, MATLAB DCT, segmentation,
 SDE pretraining, net drawing, plotting."""
 
+import os
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -177,3 +179,29 @@ def test_confusion_visualizer_cli(tmp_path, capsys):
     if confusions:
         truth_pngs = list((tmp_path / "cv").glob("utt*_truth_*.png"))
         assert truth_pngs
+
+
+def test_landmark_cli(tmp_path, monkeypatch):
+    """Video discovery + glob filter + CSV outputs through the landmark CLI
+    (landmarker.py / oulu/landmarking.py drivers), with frames stubbed since
+    OpenCV is an offline-only dependency."""
+    from ip_avsr_tpu.cli import landmark
+    from ip_avsr_tpu.data import landmarking
+
+    vids = tmp_path / "vids"
+    (vids / "sub").mkdir(parents=True)
+    for name in ("s1_v1_u1.mp4", "s1_v2_u1.mp4", "sub/s2_v1_u3.mp4", "notes.txt"):
+        (vids / name).write_bytes(b"\x00")
+
+    tasks = landmark.collect_tasks(str(vids), str(tmp_path / "lm"), "s*_v1_u*.mp4")
+    assert [os.path.basename(v) for v, _ in tasks] == ["s1_v1_u1.mp4", "s2_v1_u3.mp4"]
+
+    monkeypatch.setattr(landmarking, "iter_video_frames",
+                        lambda path: iter(np.zeros((3, 8, 8), np.uint8)))
+    n = landmark.main(["--input", str(vids), "--output", str(tmp_path / "lm"),
+                       "--pattern", "s*_v1_u*.mp4", "--fake-landmarker"])
+    assert n == 2
+    csvs = sorted(p.name for p in (tmp_path / "lm").glob("*.csv"))
+    assert csvs == ["s1_v1_u1.csv", "s2_v1_u3.csv"]
+    rows = (tmp_path / "lm" / "s1_v1_u1.csv").read_text().strip().splitlines()
+    assert len(rows) == 3 and len(rows[0].split(",")) == 136
