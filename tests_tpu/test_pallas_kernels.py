@@ -71,3 +71,25 @@ def test_lstm_kernel_matches_scan_on_tpu():
                                      matmul_dtype=None)
         np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                    rtol=2e-5, atol=2e-5)
+
+
+def test_lstm_custom_vjp_grads_on_tpu():
+    """Batched-weight-gradient custom VJP vs plain autodiff on real hardware
+    (f32 matmuls; bf16 covered by the CPU tolerance tests + bench)."""
+    rng = np.random.RandomState(0)
+    B, T, D, H = 8, 12, 64, 128
+    params = lstm_ops.init_lstm_params(jax.random.PRNGKey(0), D, H)
+    x = jnp.asarray(rng.randn(B, T, D).astype(np.float32))
+    lens = rng.randint(T // 2, T + 1, B)
+    mask = jnp.asarray((np.arange(T)[None, :] < lens[:, None]).astype(np.float32))
+    gseed = jnp.asarray(rng.randn(B, T, H).astype(np.float32))
+
+    def loss(p, custom):
+        out = lstm_ops.lstm_forward(p, x, mask, use_custom_vjp=custom)
+        return jnp.sum(out * gseed)
+
+    ga = jax.jit(jax.grad(lambda p: loss(p, True)))(params)
+    gb = jax.jit(jax.grad(lambda p: loss(p, False)))(params)
+    for k in ga:
+        np.testing.assert_allclose(np.asarray(ga[k]), np.asarray(gb[k]),
+                                   rtol=5e-4, atol=5e-5, err_msg=k)
