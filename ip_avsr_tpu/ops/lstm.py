@@ -349,6 +349,146 @@ def _lstm_core_bwd(static, residuals, g_out):
 _lstm_core.defvjp(_lstm_core_fwd, _lstm_core_bwd)
 
 
+# Grouped variant: same batched-weight-gradient strategy with a leading
+# group axis, so G independent recurrences cost T (not G*T) sequential
+# batched matmuls in BOTH passes.  Inputs arrive pre-flipped/padded/stacked
+# from lstm_forward_grouped (those ops are plain jnp, so autodiff routes the
+# stacked cotangents back to the per-stream parameter trees).
+
+def _lstm_core_grouped_fwd_impl(static, w_in, w_hid, b, cell0, hid0, x_g, mask_g):
+    grad_clipping, md = static
+    del grad_clipping
+    mmdtype = jnp.dtype(md) if md else None
+    G, B, T, D = x_g.shape
+    H = w_hid.shape[1]
+    f32 = x_g.dtype
+
+    x_mm = x_g.astype(mmdtype) if mmdtype else x_g
+    w_in_mm = w_in.astype(mmdtype) if mmdtype else w_in
+    w_hid_mm = w_hid.astype(mmdtype) if mmdtype else w_hid
+    x_proj = jax.lax.dot_general(
+        x_mm.reshape(G, B * T, D), w_in_mm,
+        dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    ).reshape(G, B, T, 4 * H).astype(f32) + b.astype(f32)[:, None, None, :]
+    x_proj_t = jnp.transpose(x_proj, (2, 0, 1, 3))  # (T, G, B, 4H)
+
+    def step(carry, inputs):
+        cell_prev, hid_prev = carry  # (G, B, H)
+        xp, m = inputs
+        gates = xp + jax.lax.dot_general(
+            hid_prev.astype(w_hid_mm.dtype), w_hid_mm,
+            dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        ).astype(f32)
+        i = jax.nn.sigmoid(gates[..., :H])
+        f = jax.nn.sigmoid(gates[..., H : 2 * H])
+        c_in = jnp.tanh(gates[..., 2 * H : 3 * H])
+        o = jax.nn.sigmoid(gates[..., 3 * H :])
+        cell_cand = f * cell_prev + i * c_in
+        hid_cand = o * jnp.tanh(cell_cand)
+        cell = m * cell_cand + (1.0 - m) * cell_prev
+        hid = m * hid_cand + (1.0 - m) * hid_prev
+        return (cell, hid), (hid, cell, gates)
+
+    (_, _), (hids, cells, gates_pre) = jax.lax.scan(
+        step, (cell0.astype(f32), hid0.astype(f32)), (x_proj_t, mask_g))
+    residuals = (w_in, w_hid, x_g, mask_g, hids, cells, gates_pre,
+                 cell0.astype(f32), hid0.astype(f32))
+    return hids, residuals  # (T, G, B, H)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _lstm_core_grouped(static, w_in, w_hid, b, cell0, hid0, x_g, mask_g):
+    out, _ = _lstm_core_grouped_fwd_impl(static, w_in, w_hid, b, cell0, hid0,
+                                         x_g, mask_g)
+    return out
+
+
+def _lstm_core_grouped_fwd(static, w_in, w_hid, b, cell0, hid0, x_g, mask_g):
+    return _lstm_core_grouped_fwd_impl(static, w_in, w_hid, b, cell0, hid0,
+                                       x_g, mask_g)
+
+
+def _lstm_core_grouped_bwd(static, residuals, g_out):
+    grad_clipping, md = static
+    mmdtype = jnp.dtype(md) if md else None
+    w_in, w_hid, x_g, mask_g, hids, cells, gates_pre, cell0, hid0 = residuals
+    T, G, B, H = hids.shape
+    D = x_g.shape[-1]
+    f32 = x_g.dtype
+    cells_prev = jnp.concatenate([cell0[None], cells[:-1]], axis=0)
+    w_hid_mm = w_hid.astype(mmdtype) if mmdtype else w_hid
+
+    def back_step(carry, inputs):
+        dcell_next, dhid_next = carry
+        go, gates, cell_t, cell_prev, m = inputs
+        dhid_total = go + dhid_next
+        dhid_cand = m * dhid_total
+        dcell_cand = m * dcell_next
+        i = jax.nn.sigmoid(gates[..., :H])
+        f = jax.nn.sigmoid(gates[..., H : 2 * H])
+        c_in = jnp.tanh(gates[..., 2 * H : 3 * H])
+        o = jax.nn.sigmoid(gates[..., 3 * H :])
+        tc = jnp.tanh(cell_t)
+        do = dhid_cand * tc
+        dcell_cand = dcell_cand + dhid_cand * o * (1.0 - tc * tc)
+        dgates = jnp.concatenate(
+            [dcell_cand * c_in * i * (1.0 - i),
+             dcell_cand * cell_prev * f * (1.0 - f),
+             dcell_cand * i * (1.0 - c_in * c_in),
+             do * o * (1.0 - o)],
+            axis=-1)
+        if grad_clipping:
+            dgates = jnp.clip(dgates, -grad_clipping, grad_clipping)
+        dg_mm = dgates.astype(mmdtype) if mmdtype else dgates
+        dhid_prev = jax.lax.dot_general(
+            dg_mm, w_hid_mm,
+            dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        ).astype(f32) + (1.0 - m) * dhid_total
+        dcell_prev = dcell_cand * f + (1.0 - m) * dcell_next
+        return (dcell_prev, dhid_prev), dgates
+
+    zeros = jnp.zeros((G, B, H), f32)
+    (dcell0_g, dhid0_g), dgates_all = jax.lax.scan(
+        back_step, (zeros, zeros),
+        (g_out, gates_pre, cells, cells_prev, mask_g), reverse=True)
+
+    hids_prev = jnp.concatenate([hid0[None], hids[:-1]], axis=0)
+    # (T, G, B, .) -> (G, T*B, .)
+    dg_flat = jnp.transpose(dgates_all, (1, 0, 2, 3)).reshape(G, T * B, 4 * H)
+    hp_flat = jnp.transpose(hids_prev, (1, 0, 2, 3)).reshape(G, T * B, H)
+    x_flat = jnp.transpose(x_g, (0, 2, 1, 3)).reshape(G, T * B, D)
+
+    def bmm(a, bb, out_dtype):
+        if mmdtype:
+            a, bb = a.astype(mmdtype), bb.astype(mmdtype)
+        return jax.lax.dot_general(
+            a, bb, dimension_numbers=(((1,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32).astype(out_dtype)
+
+    dw_hid = bmm(hp_flat, dg_flat, w_hid.dtype)  # (G, H, 4H)
+    dw_in = bmm(x_flat, dg_flat, w_in.dtype)     # (G, D, 4H)
+    db = dg_flat.sum(axis=1)
+    if mmdtype:
+        dx = jax.lax.dot_general(
+            dg_flat.astype(mmdtype), w_in.astype(mmdtype),
+            dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32).astype(f32)
+    else:
+        dx = jax.lax.dot_general(
+            dg_flat, w_in,
+            dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32).astype(f32)
+    dx = dx.reshape(G, T, B, D).transpose(0, 2, 1, 3)  # (G, B, T, D)
+    dmask = jnp.zeros_like(mask_g)
+    return dw_in, dw_hid, db, dcell0_g, dhid0_g, dx, dmask
+
+
+_lstm_core_grouped.defvjp(_lstm_core_grouped_fwd, _lstm_core_grouped_bwd)
+
+
 def lstm_forward_grouped(
     params_list,
     xs,
@@ -356,6 +496,7 @@ def lstm_forward_grouped(
     backwards_flags,
     grad_clipping: float = 5.0,
     matmul_dtype=None,
+    use_custom_vjp: bool = True,
 ):
     """Run G independent LSTMs as ONE scan with stacked (batched) weights.
 
@@ -419,6 +560,18 @@ def lstm_forward_grouped(
         w_ci = jnp.stack([p["w_cell_to_ingate"] for p in params_list])[:, None, :]
         w_cf = jnp.stack([p["w_cell_to_forgetgate"] for p in params_list])[:, None, :]
         w_co = jnp.stack([p["w_cell_to_outgate"] for p in params_list])[:, None, :]
+
+    if use_custom_vjp and not use_peepholes:
+        static = (float(grad_clipping or 0.0),
+                  jnp.dtype(matmul_dtype).name if matmul_dtype is not None else None)
+        hids = _lstm_core_grouped(static, w_in, w_hid, b, cell0, hid0, x_g,
+                                  mask_g.astype(jnp.float32))
+        hids = jnp.transpose(hids, (1, 2, 0, 3))  # (T,G,B,H) -> (G,B,T,H)
+        outs = []
+        for g, bwd in enumerate(backwards_flags):
+            out = hids[g]
+            outs.append(jnp.flip(out, axis=1) if bwd else out)
+        return outs
 
     if matmul_dtype is not None:
         x_mm, w_in_mm, w_hid_mm = (x_g.astype(matmul_dtype), w_in.astype(matmul_dtype),
