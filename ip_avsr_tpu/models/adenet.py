@@ -91,8 +91,9 @@ class AdeNetConfig:
     # LSTM recurrence backend for inference (train=False): "xla" (lax.scan)
     # or "pallas" (ops/pallas/lstm_kernel.py: weights VMEM-resident, fused
     # gate math; bit-exact vs the scan and ~18% faster on v5e at B=1024).
-    # Training always uses the XLA scan (the kernel defines no vjp).
-    # Peephole models fall back to XLA.
+    # Training goes through ops/lstm's custom-VJP core, which dispatches its
+    # own Pallas forward/backward kernels when shapes fit VMEM regardless of
+    # this flag. Peephole models fall back to XLA everywhere.
     lstm_impl: str = "xla"
 
     def stream_lstm_size(self, spec: StreamSpec) -> int:

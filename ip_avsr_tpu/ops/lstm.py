@@ -208,6 +208,20 @@ def lstm_forward(
 # Gradient semantics (Lasagne grad_clipping on the stacked pre-activations,
 # mask carry, learned initial states) are identical to autodiff of
 # lstm_forward(use_custom_vjp=False); tests assert equality.
+#
+# On TPU, when shapes fit VMEM, both the forward recurrence and the backward
+# chain run as Pallas kernels (ops/pallas/lstm_kernel.py: weights resident in
+# VMEM, gate math fused, carry in scratch); the XLA scans are the fallback
+# and the numerical reference.
+
+def _pallas_train_ok(B, T, H) -> bool:
+    try:
+        from ip_avsr_tpu.ops.pallas import lstm_kernel
+
+        return lstm_kernel.should_use_pallas_train(B, T, H)
+    except Exception:  # pragma: no cover
+        return False
+
 
 def _lstm_core_fwd_impl(static, w_in, w_hid, b, cell_init, hid_init, x, mask):
     backwards, _grad_clipping, md = static
@@ -232,23 +246,29 @@ def _lstm_core_fwd_impl(static, w_in, w_hid, b, cell_init, hid_init, x, mask):
     hid0 = jnp.broadcast_to(hid_init, (B, H)).astype(f32)
     w_hid_mm = w_hid.astype(mmdtype) if mmdtype else w_hid
 
-    def step(carry, inputs):
-        cell_prev, hid_prev = carry
-        xp, m = inputs
-        gates = xp + jnp.dot(hid_prev.astype(w_hid_mm.dtype), w_hid_mm,
-                             preferred_element_type=jnp.float32).astype(f32)
-        i = jax.nn.sigmoid(gates[:, :H])
-        f = jax.nn.sigmoid(gates[:, H : 2 * H])
-        c_in = jnp.tanh(gates[:, 2 * H : 3 * H])
-        o = jax.nn.sigmoid(gates[:, 3 * H :])
-        cell_cand = f * cell_prev + i * c_in
-        hid_cand = o * jnp.tanh(cell_cand)
-        cell = m * cell_cand + (1.0 - m) * cell_prev
-        hid = m * hid_cand + (1.0 - m) * hid_prev
-        return (cell, hid), (hid, cell, gates)
+    if _pallas_train_ok(B, T, H):
+        from ip_avsr_tpu.ops.pallas import lstm_kernel
 
-    (_, _), (hids, cells, gates_pre) = jax.lax.scan(
-        step, (cell0, hid0), (x_proj_t, mask_t))
+        hids, cells, gates_pre = lstm_kernel.lstm_pallas_train(
+            x_proj_t, w_hid_mm, mask_t, cell0, hid0)
+    else:
+        def step(carry, inputs):
+            cell_prev, hid_prev = carry
+            xp, m = inputs
+            gates = xp + jnp.dot(hid_prev.astype(w_hid_mm.dtype), w_hid_mm,
+                                 preferred_element_type=jnp.float32).astype(f32)
+            i = jax.nn.sigmoid(gates[:, :H])
+            f = jax.nn.sigmoid(gates[:, H : 2 * H])
+            c_in = jnp.tanh(gates[:, 2 * H : 3 * H])
+            o = jax.nn.sigmoid(gates[:, 3 * H :])
+            cell_cand = f * cell_prev + i * c_in
+            hid_cand = o * jnp.tanh(cell_cand)
+            cell = m * cell_cand + (1.0 - m) * cell_prev
+            hid = m * hid_cand + (1.0 - m) * hid_prev
+            return (cell, hid), (hid, cell, gates)
+
+        (_, _), (hids, cells, gates_pre) = jax.lax.scan(
+            step, (cell0, hid0), (x_proj_t, mask_t))
     out = jnp.transpose(hids, (1, 0, 2))
     if backwards:
         out = jnp.flip(out, axis=1)
@@ -312,10 +332,17 @@ def _lstm_core_bwd(static, residuals, g_out):
         dcell_prev = dcell_cand * f + (1.0 - m) * dcell_next
         return (dcell_prev, dhid_prev), dgates
 
-    zeros = jnp.zeros((B, H), f32)
-    (dcell0_g, dhid0_g), dgates_all = jax.lax.scan(
-        back_step, (zeros, zeros),
-        (g_out_t, gates_pre, cells, cells_prev, mask_t), reverse=True)
+    if _pallas_train_ok(B, T, H):
+        from ip_avsr_tpu.ops.pallas import lstm_kernel
+
+        dgates_all, dcell0_g, dhid0_g = lstm_kernel.lstm_pallas_bwd_chain(
+            g_out_t, gates_pre, cells, cells_prev, mask_t, w_hid_mm,
+            grad_clipping)
+    else:
+        zeros = jnp.zeros((B, H), f32)
+        (dcell0_g, dhid0_g), dgates_all = jax.lax.scan(
+            back_step, (zeros, zeros),
+            (g_out_t, gates_pre, cells, cells_prev, mask_t), reverse=True)
 
     # weight/input grads as single large MXU matmuls over all T*B rows
     hids_prev = jnp.concatenate([hid0[None], hids[:-1]], axis=0)

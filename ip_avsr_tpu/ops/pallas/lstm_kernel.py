@@ -14,9 +14,12 @@ recurrence as a Pallas grid sweep over (batch tiles, time):
     each batch tile.
 
 Semantics are identical to ops/lstm.lstm_forward (Lasagne mask-carry, no
-peepholes — the kernel targets the high-volume inference configs; peephole
-models fall back to the XLA path).  Forward-only: no autodiff rule is
-defined, training uses the XLA scan.
+peepholes; peephole models fall back to the XLA path).  Three kernels:
+``_lstm_kernel`` (inference forward), ``_lstm_train_kernel`` (forward that
+also writes the custom-VJP residuals: post-mask cells + pre-activation
+gates), and ``_lstm_bwd_kernel`` (the reverse-time backward chain).  The
+training kernels are dispatched by ops/lstm._lstm_core when shapes fit VMEM;
+the XLA scans remain the fallback and numerical reference.
 """
 
 from __future__ import annotations
@@ -108,6 +111,224 @@ def lstm_pallas(x_proj, w_hid, mask, cell0, hid0, *, block_b: int = 256,
         interpret=interpret,
     )(x_proj_t, w_hid, mask_t, cell0, hid0)
     return jnp.transpose(out, (1, 0, 2))[:B]
+
+
+def _lstm_train_kernel(x_proj_ref, w_hid_ref, mask_ref, cell0_ref, hid0_ref,
+                       out_ref, cells_ref, gates_ref, cell_scr, hid_scr, *, H: int):
+    """Forward recurrence that also writes the training residuals: the
+    post-mask cell states and the pre-activation gates (what the custom VJP
+    in ops/lstm.py consumes).  Same layout rules as _lstm_kernel."""
+    t = pl.program_id(1)
+
+    @pl.when(t == 0)
+    def _init():
+        cell_scr[...] = cell0_ref[...]
+        hid_scr[...] = hid0_ref[...]
+
+    cell_prev = cell_scr[...]
+    hid_prev = hid_scr[...]
+
+    gates = x_proj_ref[0] + jnp.dot(
+        hid_prev.astype(w_hid_ref.dtype), w_hid_ref[...],
+        preferred_element_type=jnp.float32,
+    )
+    ingate = jax.nn.sigmoid(gates[:, 0 * H : 1 * H])
+    forgetgate = jax.nn.sigmoid(gates[:, 1 * H : 2 * H])
+    cell_input = jnp.tanh(gates[:, 2 * H : 3 * H])
+    outgate = jax.nn.sigmoid(gates[:, 3 * H : 4 * H])
+
+    cell = forgetgate * cell_prev + ingate * cell_input
+    hid = outgate * jnp.tanh(cell)
+
+    m = mask_ref[0][:, 0:1]
+    cell = m * cell + (1.0 - m) * cell_prev
+    hid = m * hid + (1.0 - m) * hid_prev
+
+    cell_scr[...] = cell
+    hid_scr[...] = hid
+    out_ref[0] = hid
+    cells_ref[0] = cell
+    gates_ref[0] = gates
+
+
+def lstm_pallas_train(x_proj_t, w_hid, mask_t, cell0, hid0, *,
+                      block_b: int = 128, interpret: bool = False):
+    """Forward recurrence emitting residuals for the training custom VJP.
+
+    ``x_proj_t`` is TIME-MAJOR (T, B, 4H) float32 (projections + bias);
+    ``mask_t`` (T, B, 1) float32.  Returns ``(hids, cells, gates_pre)``,
+    all time-major — exactly the residual layout of ops/lstm._lstm_core.
+    """
+    T, B, H4 = x_proj_t.shape
+    H = H4 // 4
+    block_b = min(block_b, B)
+    if B % block_b != 0:
+        pad = block_b - B % block_b
+        x_proj_t = jnp.pad(x_proj_t, ((0, 0), (0, pad), (0, 0)))
+        mask_t = jnp.pad(mask_t, ((0, 0), (0, pad), (0, 0)))
+        cell0 = jnp.pad(cell0, ((0, pad), (0, 0)))
+        hid0 = jnp.pad(hid0, ((0, pad), (0, 0)))
+    Bp = x_proj_t.shape[1]
+
+    mask_l = jnp.broadcast_to(mask_t, (T, Bp, 128))
+    kernel = functools.partial(_lstm_train_kernel, H=H)
+    hids, cells, gates = pl.pallas_call(
+        kernel,
+        out_shape=(
+            jax.ShapeDtypeStruct((T, Bp, H), jnp.float32),
+            jax.ShapeDtypeStruct((T, Bp, H), jnp.float32),
+            jax.ShapeDtypeStruct((T, Bp, 4 * H), jnp.float32),
+        ),
+        grid=(Bp // block_b, T),
+        in_specs=[
+            pl.BlockSpec((1, block_b, 4 * H), lambda b, t: (t, b, 0)),
+            pl.BlockSpec((H, 4 * H), lambda b, t: (0, 0)),
+            pl.BlockSpec((1, block_b, 128), lambda b, t: (t, b, 0)),
+            pl.BlockSpec((block_b, H), lambda b, t: (b, 0)),
+            pl.BlockSpec((block_b, H), lambda b, t: (b, 0)),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, block_b, H), lambda b, t: (t, b, 0)),
+            pl.BlockSpec((1, block_b, H), lambda b, t: (t, b, 0)),
+            pl.BlockSpec((1, block_b, 4 * H), lambda b, t: (t, b, 0)),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((block_b, H), jnp.float32),
+            pltpu.VMEM((block_b, H), jnp.float32),
+        ],
+        interpret=interpret,
+    )(x_proj_t, w_hid, mask_l, cell0, hid0)
+    if Bp != B:
+        hids, cells, gates = hids[:, :B], cells[:, :B], gates[:, :B]
+    return hids, cells, gates
+
+
+def _lstm_bwd_kernel(g_out_ref, gates_ref, cells_ref, cells_prev_ref,
+                     mask_ref, w_hid_t_ref, dgates_ref, dcell0_ref, dhid0_ref,
+                     dcell_scr, dhid_scr, *, H: int, T: int, clip: float):
+    """Reverse-time chain: elementwise gate backward + the one unavoidable
+    dgates @ W_hid^T matmul per step, with W_hid VMEM-resident and the
+    (dcell, dhid) carry in scratch.  Emits dgates per step plus the final
+    carries (dcell0/dhid0 use a constant block index, so the write at the
+    last grid step — time 0 — is the one that lands in HBM).  Grid:
+    (batch tiles, T) with t mapped to reverse time via the index maps."""
+    t = pl.program_id(1)  # 0..T-1, maps to time index T-1-t via index maps
+
+    @pl.when(t == 0)
+    def _init():
+        dcell_scr[...] = jnp.zeros_like(dcell_scr)
+        dhid_scr[...] = jnp.zeros_like(dhid_scr)
+
+    dcell_next = dcell_scr[...]
+    dhid_next = dhid_scr[...]
+
+    go = g_out_ref[0]
+    gates = gates_ref[0]
+    cell_t = cells_ref[0]
+    cell_prev = cells_prev_ref[0]
+    m = mask_ref[0][:, 0:1]
+
+    dhid_total = go + dhid_next
+    dhid_cand = m * dhid_total
+    dcell_cand = m * dcell_next
+    i = jax.nn.sigmoid(gates[:, :H])
+    f = jax.nn.sigmoid(gates[:, H : 2 * H])
+    c_in = jnp.tanh(gates[:, 2 * H : 3 * H])
+    o = jax.nn.sigmoid(gates[:, 3 * H :])
+    tc = jnp.tanh(cell_t)
+    do = dhid_cand * tc
+    dcell_cand = dcell_cand + dhid_cand * o * (1.0 - tc * tc)
+    dgates = jnp.concatenate(
+        [dcell_cand * c_in * i * (1.0 - i),
+         dcell_cand * cell_prev * f * (1.0 - f),
+         dcell_cand * i * (1.0 - c_in * c_in),
+         do * o * (1.0 - o)],
+        axis=-1)
+    if clip:
+        dgates = jnp.clip(dgates, -clip, clip)
+
+    dhid_prev = jnp.dot(
+        dgates.astype(w_hid_t_ref.dtype), w_hid_t_ref[...],
+        preferred_element_type=jnp.float32,
+    ) + (1.0 - m) * dhid_total
+    dcell_prev = dcell_cand * f + (1.0 - m) * dcell_next
+
+    dcell_scr[...] = dcell_prev
+    dhid_scr[...] = dhid_prev
+    dgates_ref[0] = dgates
+    dcell0_ref[...] = dcell_prev
+    dhid0_ref[...] = dhid_prev
+
+
+def lstm_pallas_bwd_chain(g_out_t, gates_pre, cells, cells_prev, mask_t, w_hid,
+                          clip: float, *, block_b: int = 128,
+                          interpret: bool = False):
+    """Reverse-time backward chain.  All sequence args TIME-MAJOR (T, B, .),
+    float32; returns ``(dgates (T,B,4H) in forward time order, dcell0 (B,H),
+    dhid0 (B,H))`` — the carries are the cotangents of the initial states."""
+    T, B, H = cells.shape
+    block_b = min(block_b, B)
+    if B % block_b != 0:
+        pad = block_b - B % block_b
+        g_out_t = jnp.pad(g_out_t, ((0, 0), (0, pad), (0, 0)))
+        gates_pre = jnp.pad(gates_pre, ((0, 0), (0, pad), (0, 0)))
+        cells = jnp.pad(cells, ((0, 0), (0, pad), (0, 0)))
+        cells_prev = jnp.pad(cells_prev, ((0, 0), (0, pad), (0, 0)))
+        mask_t = jnp.pad(mask_t, ((0, 0), (0, pad), (0, 0)))
+    Bp = g_out_t.shape[1]
+
+    mask_l = jnp.broadcast_to(mask_t, (T, Bp, 128))
+    rev = lambda b, t: (T - 1 - t, b, 0)  # noqa: E731  reverse-time block maps
+    kernel = functools.partial(_lstm_bwd_kernel, H=H, T=T, clip=float(clip or 0.0))
+    dgates, dcell0, dhid0 = pl.pallas_call(
+        kernel,
+        out_shape=(
+            jax.ShapeDtypeStruct((T, Bp, 4 * H), jnp.float32),
+            jax.ShapeDtypeStruct((Bp, H), jnp.float32),
+            jax.ShapeDtypeStruct((Bp, H), jnp.float32),
+        ),
+        grid=(Bp // block_b, T),
+        in_specs=[
+            pl.BlockSpec((1, block_b, H), rev),
+            pl.BlockSpec((1, block_b, 4 * H), rev),
+            pl.BlockSpec((1, block_b, H), rev),
+            pl.BlockSpec((1, block_b, H), rev),
+            pl.BlockSpec((1, block_b, 128), rev),
+            pl.BlockSpec((4 * H, H), lambda b, t: (0, 0)),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, block_b, 4 * H), rev),
+            pl.BlockSpec((block_b, H), lambda b, t: (b, 0)),
+            pl.BlockSpec((block_b, H), lambda b, t: (b, 0)),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((block_b, H), jnp.float32),
+            pltpu.VMEM((block_b, H), jnp.float32),
+        ],
+        interpret=interpret,
+    )(g_out_t, gates_pre, cells, cells_prev, mask_l, w_hid.T)
+    return dgates[:, :B], dcell0[:B], dhid0[:B]
+
+
+def should_use_pallas_train(B: int, T: int, H: int, dtype_bytes: int = 4) -> bool:
+    """Dispatch heuristic for the training-path kernels: TPU backend and the
+    per-step working set (w_hid + x_proj/gates blocks + scratch, double
+    buffered) fits comfortably in VMEM."""
+    if pltpu is None:
+        return False
+    try:
+        if jax.default_backend() != "tpu":
+            return False
+    except Exception:  # pragma: no cover
+        return False
+    # block last dims need not be (8,128)-divisible when they equal the full
+    # array dims (the inference kernel already runs H=500 this way), so no
+    # H alignment requirement — only the VMEM working-set bound
+    block_b = min(128, B)
+    w_bytes = H * 4 * H * dtype_bytes
+    step_bytes = block_b * (4 * H + 4 * H + 3 * H + 128) * 4
+    return (w_bytes + 2 * step_bytes) < 12 * 1024 * 1024 \
+        and B * T * H >= 1 << 16
 
 
 def lstm_forward_pallas(params, x, mask, backwards: bool = False,

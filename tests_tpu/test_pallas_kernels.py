@@ -93,3 +93,42 @@ def test_lstm_custom_vjp_grads_on_tpu():
     for k in ga:
         np.testing.assert_allclose(np.asarray(ga[k]), np.asarray(gb[k]),
                                    rtol=5e-4, atol=5e-5, err_msg=k)
+
+
+def test_lstm_train_kernels_dispatch_and_match_on_tpu():
+    """At training shapes the custom-VJP core dispatches the Pallas forward
+    (residual-emitting) and backward-chain kernels; values and grads must
+    match the pure-XLA autodiff path."""
+    from ip_avsr_tpu.ops.pallas import lstm_kernel
+
+    rng = np.random.RandomState(0)
+    B, T, D, H = 128, 16, 64, 128
+    assert lstm_kernel.should_use_pallas_train(B, T, H)
+    params = lstm_ops.init_lstm_params(jax.random.PRNGKey(0), D, H)
+    x = jnp.asarray(rng.randn(B, T, D).astype(np.float32))
+    lens = rng.randint(T // 2, T + 1, B)
+    mask = jnp.asarray((np.arange(T)[None, :] < lens[:, None]).astype(np.float32))
+    gseed = jnp.asarray(rng.randn(B, T, H).astype(np.float32))
+
+    for bwd in (False, True):
+        a = lstm_ops.lstm_forward(params, x, mask, backwards=bwd,
+                                  use_custom_vjp=True)
+        b = lstm_ops.lstm_forward(params, x, mask, backwards=bwd,
+                                  use_custom_vjp=False)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-5, atol=2e-5)
+
+        def loss(p, custom):
+            out = lstm_ops.lstm_forward(p, x, mask, backwards=bwd,
+                                        use_custom_vjp=custom)
+            return jnp.sum(out * gseed)
+
+        ga = jax.jit(jax.grad(lambda p: loss(p, True)))(params)
+        gb = jax.jit(jax.grad(lambda p: loss(p, False)))(params)
+        for k in ga:
+            a, bb = np.asarray(ga[k]), np.asarray(gb[k])
+            # scale-relative bound: TPU f32 matmuls default to bf16-passes,
+            # so tiny forward diffs chain into the big (T*B)-row reductions
+            scale = np.max(np.abs(bb)) + 1e-12
+            np.testing.assert_allclose(a / scale, bb / scale, rtol=0, atol=1e-3,
+                                       err_msg=f"{k} bwd={bwd}")
