@@ -316,12 +316,14 @@ def main():
         train_iters = 5
         latency_calls = 20
     else:
-        batches = [args.batch] if args.batch else [512, 1024, 2048]
+        # keep the compile count bounded: with per-process XLA caches only,
+        # every extra shape costs a fresh 20-60s compile in the driver's run
+        batches = [args.batch] if args.batch else [1024, 2048]
         iters = 20
         cpu_iters = 3
-        train_batches = [128, 256, 512]
+        train_batches = [256, 512]
         train_iters = 10
-        latency_calls = 50
+        latency_calls = 30
 
     # denominators: reference-equivalent CPU measurements (cached)
     def cached(key, measure):

@@ -134,6 +134,9 @@ def main(argv=None):
 
     cfg = zoo.adenet_v5(dim, dct_dim, dim, lstm_size=lstm_size, window=windowsize,
                         output_classes=output_classes, use_adascale=use_adascale)
+    if train_cfg.get("matmul_dtype"):
+        cfg = adenet.AdeNetConfig(**{**cfg.__dict__,
+                                     "matmul_dtype": train_cfg["matmul_dtype"]})
     if synth:
         streams = []
         for s in cfg.streams:

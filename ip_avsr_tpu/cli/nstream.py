@@ -26,7 +26,7 @@ import numpy as np
 
 from ip_avsr_tpu.data import preprocessing as pp
 from ip_avsr_tpu.io import matio
-from ip_avsr_tpu.models import zoo
+from ip_avsr_tpu.models import adenet, zoo
 from ip_avsr_tpu.models.adenet import init_adenet_params
 from ip_avsr_tpu.ops.nonlinearities import select_nonlinearity  # noqa: F401 (registry check)
 from ip_avsr_tpu.train import config as config_lib
@@ -249,6 +249,10 @@ def _train_and_report(options, clf, tc, stream_cfgs,
             stream_dropout=0.5 if clf.use_dropout else 0.0,
             stream_lstm_multiplier=2 if clf.use_dropout else 1,
             use_delta=[sc.use_delta for sc in stream_cfgs])
+
+    if tc.matmul_dtype:
+        model_cfg = adenet.AdeNetConfig(**{**model_cfg.__dict__,
+                                           "matmul_dtype": tc.matmul_dtype})
 
     topts = TrainOptions(
         num_epoch=options.num_epoch or tc.num_epoch,

@@ -141,6 +141,9 @@ def main(argv=None):
 
     cfg = zoo.adenet_v3(dim, dct_dim, dim, lstm_size=lstm_size, window=windowsize,
                         output_classes=output_classes, fusiontype=fusiontype)
+    if train_cfg.get("matmul_dtype"):
+        cfg = adenet.AdeNetConfig(**{**cfg.__dict__,
+                                     "matmul_dtype": train_cfg["matmul_dtype"]})
     if args.synthetic:
         streams = []
         for s in cfg.streams:

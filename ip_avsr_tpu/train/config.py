@@ -70,6 +70,9 @@ class TrainingConfig:
     test_subjects_file: Optional[str] = None
     # "auto", or comma-separated T upper bounds; None = global-max padding
     bucket_boundaries: Optional[object] = None
+    # e.g. "bfloat16": cast matmul operands (f32 accumulation) for MXU
+    # throughput; None = full f32
+    matmul_dtype: Optional[str] = None
 
 
 def load_config(path: str) -> configparser.ConfigParser:
@@ -159,6 +162,7 @@ def parse_training(cp: configparser.ConfigParser) -> TrainingConfig:
         val_subjects_file=_get(cp, sec, "val_subjects_file"),
         test_subjects_file=_get(cp, sec, "test_subjects_file"),
         bucket_boundaries=_parse_buckets(_get(cp, sec, "bucket_boundaries")),
+        matmul_dtype=_get(cp, sec, "matmul_dtype") or None,
     )
 
 
