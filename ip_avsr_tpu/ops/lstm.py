@@ -130,9 +130,15 @@ def lstm_forward(
         mask = jnp.ones((B, T), dtype=jnp.float32)
     mask = mask.astype(jnp.float32)
 
-    if use_custom_vjp and not use_peepholes:
+    if use_custom_vjp:
         static = (bool(backwards), float(grad_clipping or 0.0),
                   jnp.dtype(matmul_dtype).name if matmul_dtype is not None else None)
+        if use_peepholes:
+            return _lstm_core_peep(
+                static, params["w_in"], params["w_hid"], params["b"],
+                params["cell_init"], params["hid_init"],
+                params["w_cell_to_ingate"], params["w_cell_to_forgetgate"],
+                params["w_cell_to_outgate"], x, mask)
         return _lstm_core(static, params["w_in"], params["w_hid"], params["b"],
                           params["cell_init"], params["hid_init"], x, mask)
 
@@ -374,6 +380,162 @@ def _lstm_core_bwd(static, residuals, g_out):
 
 
 _lstm_core.defvjp(_lstm_core_fwd, _lstm_core_bwd)
+
+
+# Peephole variant: same batched-weight-gradient strategy; the peephole
+# connections (cell_prev into in/forget gate pre-activations POST-clip-node,
+# new cell into the outgate — custom/layers.py:10-27 peepholes) add three
+# (H,) vector gradients accumulated inside the backward scan.  XLA scans
+# only (the Pallas kernels are non-peephole).
+
+def _lstm_core_peep_fwd_impl(static, w_in, w_hid, b, cell_init, hid_init,
+                             w_ci, w_cf, w_co, x, mask):
+    backwards, _clip, md = static
+    mmdtype = jnp.dtype(md) if md else None
+    B, T, D = x.shape
+    H = w_hid.shape[0]
+    f32 = x.dtype
+    if backwards:
+        x = jnp.flip(x, axis=1)
+        mask = jnp.flip(mask, axis=1)
+    x_mm = x.astype(mmdtype) if mmdtype else x
+    w_in_mm = w_in.astype(mmdtype) if mmdtype else w_in
+    x_proj = (
+        jnp.dot(x_mm.reshape(B * T, D), w_in_mm, preferred_element_type=jnp.float32)
+        .reshape(B, T, 4 * H)
+        .astype(f32)
+        + b.astype(f32)
+    )
+    x_proj_t = jnp.transpose(x_proj, (1, 0, 2))
+    mask_t = jnp.transpose(mask, (1, 0))[..., None]
+    cell0 = jnp.broadcast_to(cell_init, (B, H)).astype(f32)
+    hid0 = jnp.broadcast_to(hid_init, (B, H)).astype(f32)
+    w_hid_mm = w_hid.astype(mmdtype) if mmdtype else w_hid
+
+    def step(carry, inputs):
+        cell_prev, hid_prev = carry
+        xp, m = inputs
+        gates = xp + jnp.dot(hid_prev.astype(w_hid_mm.dtype), w_hid_mm,
+                             preferred_element_type=jnp.float32).astype(f32)
+        i = jax.nn.sigmoid(gates[:, :H] + cell_prev * w_ci)
+        f = jax.nn.sigmoid(gates[:, H : 2 * H] + cell_prev * w_cf)
+        c_in = jnp.tanh(gates[:, 2 * H : 3 * H])
+        cell_cand = f * cell_prev + i * c_in
+        o = jax.nn.sigmoid(gates[:, 3 * H :] + cell_cand * w_co)
+        hid_cand = o * jnp.tanh(cell_cand)
+        cell = m * cell_cand + (1.0 - m) * cell_prev
+        hid = m * hid_cand + (1.0 - m) * hid_prev
+        return (cell, hid), (hid, cell, gates)
+
+    (_, _), (hids, cells, gates_pre) = jax.lax.scan(
+        step, (cell0, hid0), (x_proj_t, mask_t))
+    out = jnp.transpose(hids, (1, 0, 2))
+    if backwards:
+        out = jnp.flip(out, axis=1)
+    residuals = (w_in, w_hid, w_ci, w_cf, w_co, x, mask, hids, cells,
+                 gates_pre, cell0, hid0)
+    return out, residuals
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _lstm_core_peep(static, w_in, w_hid, b, cell_init, hid_init,
+                    w_ci, w_cf, w_co, x, mask):
+    out, _ = _lstm_core_peep_fwd_impl(static, w_in, w_hid, b, cell_init,
+                                      hid_init, w_ci, w_cf, w_co, x, mask)
+    return out
+
+
+def _lstm_core_peep_fwd(static, w_in, w_hid, b, cell_init, hid_init,
+                        w_ci, w_cf, w_co, x, mask):
+    return _lstm_core_peep_fwd_impl(static, w_in, w_hid, b, cell_init,
+                                    hid_init, w_ci, w_cf, w_co, x, mask)
+
+
+def _lstm_core_peep_bwd(static, residuals, g_out):
+    backwards, grad_clipping, md = static
+    mmdtype = jnp.dtype(md) if md else None
+    (w_in, w_hid, w_ci, w_cf, w_co, x, mask, hids, cells, gates_pre,
+     cell0, hid0) = residuals
+    T, B, H = hids.shape
+    D = x.shape[-1]
+    f32 = x.dtype
+    if backwards:
+        g_out = jnp.flip(g_out, axis=1)
+    g_out_t = jnp.transpose(g_out, (1, 0, 2))
+    mask_t = jnp.transpose(mask, (1, 0))[..., None]
+    cells_prev = jnp.concatenate([cell0[None], cells[:-1]], axis=0)
+    w_hid_mm = w_hid.astype(mmdtype) if mmdtype else w_hid
+
+    def back_step(carry, inputs):
+        dcell_next, dhid_next, dw_ci_acc, dw_cf_acc, dw_co_acc = carry
+        go, gates, cell_t, cell_prev, m = inputs
+        dhid_total = go + dhid_next
+        dhid_cand = m * dhid_total
+        dcell_cand = m * dcell_next
+        # recompute activations; cell_t stands in for the candidate cell
+        # (equal where m=1; the m=0 lanes carry zero cotangent)
+        i = jax.nn.sigmoid(gates[:, :H] + cell_prev * w_ci)
+        f = jax.nn.sigmoid(gates[:, H : 2 * H] + cell_prev * w_cf)
+        c_in = jnp.tanh(gates[:, 2 * H : 3 * H])
+        o = jax.nn.sigmoid(gates[:, 3 * H :] + cell_t * w_co)
+        tc = jnp.tanh(cell_t)
+        do_pre = dhid_cand * tc * o * (1.0 - o)
+        dcell_cand = (dcell_cand + dhid_cand * o * (1.0 - tc * tc)
+                      + do_pre * w_co)
+        di_pre = dcell_cand * c_in * i * (1.0 - i)
+        df_pre = dcell_cand * cell_prev * f * (1.0 - f)
+        dgc = dcell_cand * i * (1.0 - c_in * c_in)
+        # peephole gradients use the UNCLIPPED gate cotangents (the clip node
+        # sits upstream, on the stacked pre-activations)
+        dw_ci_acc = dw_ci_acc + jnp.sum(di_pre * cell_prev, axis=0)
+        dw_cf_acc = dw_cf_acc + jnp.sum(df_pre * cell_prev, axis=0)
+        dw_co_acc = dw_co_acc + jnp.sum(do_pre * cell_t, axis=0)
+        dgates = jnp.concatenate([di_pre, df_pre, dgc, do_pre], axis=-1)
+        if grad_clipping:
+            dgates = jnp.clip(dgates, -grad_clipping, grad_clipping)
+        dg_mm = dgates.astype(mmdtype) if mmdtype else dgates
+        dhid_prev = (jnp.dot(dg_mm, w_hid_mm.T, preferred_element_type=jnp.float32)
+                     .astype(f32) + (1.0 - m) * dhid_total)
+        dcell_prev = (dcell_cand * f + di_pre * w_ci + df_pre * w_cf
+                      + (1.0 - m) * dcell_next)
+        return (dcell_prev, dhid_prev, dw_ci_acc, dw_cf_acc, dw_co_acc), dgates
+
+    zeros = jnp.zeros((B, H), f32)
+    zh = jnp.zeros((H,), f32)
+    (dcell0_g, dhid0_g, dw_ci, dw_cf, dw_co), dgates_all = jax.lax.scan(
+        back_step, (zeros, zeros, zh, zh, zh),
+        (g_out_t, gates_pre, cells, cells_prev, mask_t), reverse=True)
+
+    hids_prev = jnp.concatenate([hid0[None], hids[:-1]], axis=0)
+    dg_flat = dgates_all.reshape(T * B, 4 * H)
+    hp_flat = hids_prev.reshape(T * B, H)
+    x_flat = jnp.transpose(x, (1, 0, 2)).reshape(T * B, D)
+    if mmdtype:
+        dg_mm = dg_flat.astype(mmdtype)
+        dw_hid = jnp.dot(hp_flat.astype(mmdtype).T, dg_mm,
+                         preferred_element_type=jnp.float32).astype(w_hid.dtype)
+        dw_in = jnp.dot(x_flat.astype(mmdtype).T, dg_mm,
+                        preferred_element_type=jnp.float32).astype(w_in.dtype)
+        dx = jnp.dot(dg_mm, w_in.astype(mmdtype).T,
+                     preferred_element_type=jnp.float32).astype(f32)
+    else:
+        dw_hid = jnp.dot(hp_flat.T, dg_flat,
+                         preferred_element_type=jnp.float32).astype(w_hid.dtype)
+        dw_in = jnp.dot(x_flat.T, dg_flat,
+                        preferred_element_type=jnp.float32).astype(w_in.dtype)
+        dx = jnp.dot(dg_flat, w_in.T, preferred_element_type=jnp.float32).astype(f32)
+    db = dg_flat.sum(axis=0)
+    dx = jnp.transpose(dx.reshape(T, B, D), (1, 0, 2))
+    if backwards:
+        dx = jnp.flip(dx, axis=1)
+    dcell_init = dcell0_g.sum(axis=0, keepdims=True)
+    dhid_init = dhid0_g.sum(axis=0, keepdims=True)
+    dmask = jnp.zeros_like(mask)
+    return (dw_in, dw_hid, db, dcell_init, dhid_init, dw_ci, dw_cf, dw_co,
+            dx, dmask)
+
+
+_lstm_core_peep.defvjp(_lstm_core_peep_fwd, _lstm_core_peep_bwd)
 
 
 # Grouped variant: same batched-weight-gradient strategy with a leading

@@ -175,18 +175,40 @@ def test_lstm_custom_vjp_grads_match_autodiff(backwards, clip):
     np.testing.assert_allclose(np.asarray(gxa), np.asarray(gxb), **tol)
 
 
-def test_lstm_custom_vjp_peephole_fallback():
-    """Peephole params must transparently fall back to the autodiff path."""
+@pytest.mark.parametrize("backwards", [False, True])
+@pytest.mark.parametrize("clip", [5.0, 1e-3])
+def test_lstm_peephole_custom_vjp_grads_match_autodiff(backwards, clip):
+    """The peephole custom VJP (ops/lstm._lstm_core_peep) must match plain
+    autodiff for every gradient, including the three peephole vectors (whose
+    cotangents bypass the clip node) and when clipping bites."""
     rng = np.random.RandomState(0)
-    B, T, D, H = 2, 5, 4, 3
+    B, T, D, H = 3, 7, 5, 6
     params = lstm_ops.init_lstm_params(jax.random.PRNGKey(0), D, H,
                                        use_peepholes=True)
     x = jnp.asarray(rng.randn(B, T, D).astype(np.float32))
-    out = lstm_ops.lstm_forward(params, x, use_custom_vjp=True)
-    g = jax.grad(lambda p: jnp.sum(lstm_ops.lstm_forward(p, x) ** 2))(params)
-    assert np.isfinite(np.asarray(out)).all()
-    assert all(np.isfinite(np.asarray(v)).all()
-               for v in jax.tree_util.tree_leaves(g))
+    lens = np.array([7, 3, 5])
+    mask = jnp.asarray((np.arange(T)[None] < lens[:, None]).astype(np.float32))
+    scale = 1e4 if clip == 1e-3 else 1.0
+    gseed = jnp.asarray(scale * rng.randn(B, T, H).astype(np.float32))
+
+    a = lstm_ops.lstm_forward(params, x, mask, backwards=backwards,
+                              grad_clipping=clip, use_custom_vjp=True)
+    b = lstm_ops.lstm_forward(params, x, mask, backwards=backwards,
+                              grad_clipping=clip, use_custom_vjp=False)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6, atol=1e-6)
+
+    def loss(p, xx, custom):
+        out = lstm_ops.lstm_forward(p, xx, mask, backwards=backwards,
+                                    grad_clipping=clip, use_custom_vjp=custom)
+        return jnp.sum(out * gseed)
+
+    ga, gxa = jax.grad(loss, argnums=(0, 1))(params, x, True)
+    gb, gxb = jax.grad(loss, argnums=(0, 1))(params, x, False)
+    tol = dict(rtol=3e-4, atol=3e-5) if scale > 1 else dict(rtol=2e-5, atol=2e-6)
+    for k in ga:
+        np.testing.assert_allclose(np.asarray(ga[k]), np.asarray(gb[k]),
+                                   err_msg=f"{k}", **tol)
+    np.testing.assert_allclose(np.asarray(gxa), np.asarray(gxb), **tol)
 
 
 def test_grouped_custom_vjp_grads_match_autodiff_and_individual():
