@@ -127,3 +127,49 @@ def test_multihost_helper_single_process():
     assert arr.shape == (16, 3)
     np.testing.assert_allclose(np.asarray(arr), x)
     assert len(arr.sharding.device_set) == 8
+
+
+def test_dp_tp_grads_match_single_device():
+    """2-D data x model sharding (encoder weight matrices tensor-parallel on
+    their hidden axis, batch data-parallel) must reproduce single-device
+    gradients — the pytest twin of __graft_entry__.dryrun_multichip."""
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    cfg = zoo.deltanet_majority_vote(24, [32, 16, 8], ["sigmoid", "sigmoid", "linear"],
+                                     lstm_size=8, window=4, output_classes=4)
+    params = adenet.init_adenet_params(jax.random.PRNGKey(0), cfg)
+    rng = np.random.RandomState(0)
+    B, T = 16, 9
+    x = rng.randn(B, T, 24).astype(np.float32)
+    lens = rng.randint(3, T + 1, B)
+    mask = (np.arange(T)[None, :] < lens[:, None]).astype(np.float32)
+    y = rng.randint(0, 4, B).astype(np.int32)
+    loss = _loss_fn(cfg)
+    grad_fn = jax.jit(jax.grad(loss))
+
+    g_single = grad_fn(params, jnp.asarray(x), jnp.asarray(y), jnp.asarray(mask))
+
+    mesh = Mesh(np.array(jax.devices()).reshape(4, 2), ("data", "model"))
+
+    def param_spec(path, leaf):
+        names = [str(getattr(k, "key", "")) for k in path]
+        if "encoder" in names and names[-1] == "w" and leaf.ndim == 2:
+            return P(None, "model")
+        return P()
+
+    param_sh = jax.tree_util.tree_map_with_path(
+        lambda p, l: NamedSharding(mesh, param_spec(p, l)), params)
+    params_s = jax.device_put(params, param_sh)
+    batch_sh = NamedSharding(mesh, P("data"))
+    args = [jax.device_put(jnp.asarray(a), batch_sh) for a in (x, y, mask)]
+    with mesh:
+        g_sharded = grad_fn(params_s, *args)
+
+    # encoder weight grads really are tensor-parallel, not replicated
+    enc_w_grad = g_sharded["streams"]["s1"]["encoder"]["fc1"]["w"]
+    assert any(s.spec == P(None, "model") for s in [enc_w_grad.sharding])
+
+    for a, b in zip(jax.tree_util.tree_leaves(g_single),
+                    jax.tree_util.tree_leaves(g_sharded)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=1e-6)
