@@ -23,6 +23,18 @@ def majority_voting_layer(probs: jnp.ndarray, num_classes: int) -> jnp.ndarray:
     return jax.nn.softmax(votes, axis=-1)
 
 
+def majority_voting_layer_masked(probs: jnp.ndarray, mask: jnp.ndarray,
+                                 num_classes: int) -> jnp.ndarray:
+    """(B, T, C), (B, T) -> (B, C) softmax of per-class argmax counts over
+    VALID frames only.  Equals :func:`majority_voting_layer` when every frame
+    is valid; required wherever the time axis is padded (bucketed serving),
+    so padding cannot cast votes."""
+    preds = jnp.argmax(probs, axis=-1)
+    onehot = jax.nn.one_hot(preds, num_classes, dtype=probs.dtype)
+    votes = jnp.sum(onehot * mask[..., None].astype(probs.dtype), axis=1)
+    return jax.nn.softmax(votes, axis=-1)
+
+
 def masked_majority_vote(probs, mask) -> np.ndarray:
     """Per-sequence majority vote over valid frames (host-side eval).
 

@@ -17,7 +17,8 @@ import jax.numpy as jnp
 
 from ip_avsr_tpu.models import adenet
 from ip_avsr_tpu.ops import pipeline
-from ip_avsr_tpu.ops.voting import majority_voting_layer
+from ip_avsr_tpu.ops.voting import (majority_voting_layer,
+                                    majority_voting_layer_masked)
 
 
 def make_trimodal_server(
@@ -57,5 +58,71 @@ def make_server(params: dict, config: adenet.AdeNetConfig, vote: bool = True):
         if out.ndim == 3 and vote:
             return majority_voting_layer(out, config.output_classes)
         return out
+
+    return serve
+
+
+def make_bucketed_server(params: dict, config: adenet.AdeNetConfig,
+                         batch_buckets=(1, 8, 32), time_buckets=(32, 64),
+                         vote: bool = True):
+    """Production server for ARBITRARY request sizes under static XLA shapes.
+
+    XLA compiles one program per shape; a naive server would recompile for
+    every new (batch, T).  This wrapper rounds each request up to the nearest
+    (batch_bucket, time_bucket) — at most ``len(batch_buckets) *
+    len(time_buckets)`` compilations ever — zero-padding rows/frames (padded
+    rows carry an all-zero mask; padded frames are masked) and slicing the
+    padding off the scores.  Requests larger than the biggest bucket are
+    processed in chunks of it.
+
+    Returns ``serve(streams, lengths) -> (B, C) scores`` where ``streams[i]``
+    is (B, T_actual, D_i) and ``lengths`` the per-utterance frame counts.
+    """
+    import numpy as np
+
+    batch_buckets = sorted(set(int(b) for b in batch_buckets))
+    time_buckets = sorted(set(int(t) for t in time_buckets))
+    # vote inside the bucketed server must be MASKED (padded frames cannot
+    # cast votes, or T-bucket padding would change the scores)
+    inner = make_server(params, config, vote=False)
+
+    @jax.jit
+    def vote_fn(out, mask):
+        return majority_voting_layer_masked(out, mask, config.output_classes)
+
+    def _bucket(v, buckets):
+        for b in buckets:
+            if v <= b:
+                return b
+        return buckets[-1]
+
+    def serve(streams, lengths):
+        lengths = np.asarray(lengths).reshape(-1)
+        B = len(lengths)
+        T = int(streams[0].shape[1])
+        max_b = batch_buckets[-1]
+        if B > max_b:  # chunk oversized requests by the largest bucket
+            outs = [serve([s[i : i + max_b] for s in streams],
+                          lengths[i : i + max_b])
+                    for i in range(0, B, max_b)]
+            return jnp.concatenate(outs, axis=0)
+        bb = _bucket(B, batch_buckets)
+        tb = _bucket(T, time_buckets)
+        if T > tb:  # longer than the largest bucket: truncate to it
+            streams = [s[:, :tb] for s in streams]
+            lengths = np.minimum(lengths, tb)
+            T = tb
+        padded = []
+        for s in streams:
+            s = jnp.asarray(s, jnp.float32)
+            s = jnp.pad(s, ((0, bb - B), (0, tb - T), (0, 0)))
+            padded.append(s)
+        mask = jnp.asarray(
+            (np.arange(tb)[None, :]
+             < np.pad(lengths, (0, bb - B))[:, None]).astype(np.float32))
+        scores = inner(padded, mask)
+        if scores.ndim == 3 and vote:
+            scores = vote_fn(scores, mask)
+        return scores[:B]
 
     return serve

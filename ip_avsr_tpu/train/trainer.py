@@ -54,6 +54,11 @@ class TrainOptions:
     decay_rate: float = 0.0  # lr *= (1 - decay_rate) per epoch after decay_start
     decay_start: Optional[int] = None
     check_nans: bool = False
+    # failure recovery (aux capability the reference lacks, SURVEY.md §5):
+    # on a non-finite train/val cost, restore the best-so-far parameters,
+    # reset the optimizer state, halve the learning rate, and continue —
+    # instead of training onward from a poisoned state
+    recover_on_nan: bool = False
     profile_dir: Optional[str] = None
     # per-parameter learning rates: pytree-path prefix -> rate, used with
     # optimizer="adam_vlr" (runners/1stream_variable_lr.py; custom/updates.py)
@@ -348,6 +353,19 @@ class Trainer:
 
             cost = float(self.eval_cost(params, *last_batch))
             val_cost = float(self.eval_cost(params, *val_dev))
+
+            if o.recover_on_nan and not (np.isfinite(cost) and np.isfinite(val_cost)):
+                params = jax.tree_util.tree_map(jnp.asarray, best_params)
+                opt_state = self.optimizer.init(params)
+                if self.mesh is not None:
+                    params = mesh_lib.replicate(self.mesh, params)
+                    opt_state = mesh_lib.replicate(self.mesh, opt_state)
+                lr = lr * 0.5
+                o.log_fn(f"Epoch {epoch + 1}: non-finite cost "
+                         f"(train={cost}, val={val_cost}); restored best "
+                         f"params, reset optimizer, lr -> {lr:.3g}")
+                continue
+
             cost_train.append(cost)
             cost_val.append(val_cost)
             train_strip[epoch % STRIP] = cost

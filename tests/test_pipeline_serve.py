@@ -82,3 +82,50 @@ def test_generic_server_votes():
     mask = jnp.asarray(np.ones((2, 6), np.float32))
     scores = np.asarray(server([x], mask))
     assert scores.shape == (2, 4)
+
+
+def test_bucketed_server_static_shapes_and_chunking():
+    """Bucketed serving: any request size maps to one of a fixed set of
+    compiled shapes; padding never changes the valid rows' scores."""
+    import jax.numpy as jnp
+
+    from ip_avsr_tpu import serve as serve_lib
+    from ip_avsr_tpu.models import adenet, zoo
+
+    from ip_avsr_tpu.ops.voting import majority_voting_layer_masked
+
+    cfg = zoo.lstm_classifier_majority_vote(6, lstm_size=4, output_classes=3)
+    params = adenet.init_adenet_params(jax.random.PRNGKey(0), cfg)
+    server = serve_lib.make_bucketed_server(params, cfg, batch_buckets=(2, 4),
+                                            time_buckets=(5, 8))
+    probs_fn = serve_lib.make_server(params, cfg, vote=False)
+
+    def want_scores(x, lengths):
+        mask = jnp.asarray((np.arange(x.shape[1])[None, :]
+                            < np.asarray(lengths)[:, None]).astype(np.float32))
+        probs = probs_fn([jnp.asarray(x)], mask)
+        return np.asarray(majority_voting_layer_masked(probs, mask, 3))
+
+    rng = np.random.RandomState(0)
+    # odd batch (3 -> bucket 4), odd T (6 -> bucket 8)
+    x = rng.randn(3, 6, 6).astype(np.float32)
+    lengths = np.array([6, 4, 2])
+    scores = np.asarray(server([x], lengths))
+    assert scores.shape == (3, 3)
+    np.testing.assert_allclose(scores, want_scores(x, lengths),
+                               rtol=1e-5, atol=1e-6)
+
+    # padding invariance: a different bucketing of the same request gives
+    # the same scores
+    server_b = serve_lib.make_bucketed_server(params, cfg, batch_buckets=(8,),
+                                              time_buckets=(11,))
+    np.testing.assert_allclose(scores, np.asarray(server_b([x], lengths)),
+                               rtol=1e-5, atol=1e-6)
+
+    # oversized request chunks by the largest batch bucket
+    x9 = rng.randn(9, 5, 6).astype(np.float32)
+    lengths9 = rng.randint(1, 6, 9)
+    scores9 = np.asarray(server([x9], lengths9))
+    assert scores9.shape == (9, 3)
+    np.testing.assert_allclose(scores9, want_scores(x9, lengths9),
+                               rtol=1e-5, atol=1e-6)

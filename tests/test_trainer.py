@@ -230,3 +230,23 @@ def test_trainer_multihost_single_process_path():
     leaves1 = jax.tree_util.tree_leaves(results[1].best_params)
     for a, b in zip(leaves0, leaves1):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6)
+
+
+def test_trainer_recovers_from_nan():
+    """recover_on_nan: a divergent run (absurd momentum lr) restores the
+    best params, halves the lr, and finishes all epochs with finite results."""
+    X, y, lens = make_synthetic(24)
+    Xv, yv, lensv = make_synthetic(8, seed=1)
+    logs = []
+    cfg = zoo.lstm_classifier_majority_vote(12, lstm_size=8, output_classes=4)
+    opts = TrainOptions(num_epoch=4, epochsize=3, batchsize=8,
+                        learning_rate=1e25, optimizer="momentum",
+                        validation_window=50, seed=0, log_fn=logs.append,
+                        recover_on_nan=True)
+    trainer = Trainer(cfg, opts)
+    result = trainer.fit(([X], y, lens), ([Xv], yv, lensv), ([Xv], yv, lensv))
+    assert any("non-finite" in line for line in logs), logs
+    assert np.isfinite(result.best_val) or result.best_val == float("inf")
+    # the NaN epochs never poison the recorded histories
+    assert all(np.isfinite(c) for c in result.cost_train)
+    assert all(np.isfinite(c) for c in result.cost_val)
