@@ -174,6 +174,9 @@ def train_rbm(
     log_fn=print,
 ):
     """Train one RBM (dbn/trainRBM.m:72-169).  Returns (rbm_state, errors)."""
+    from ip_avsr_tpu.utils import compilation_cache
+
+    compilation_cache.enable()  # the epoch scan is a big one-time compile
     data = np.asarray(data, np.float32)
     n, d = data.shape
     bs = hyper.batchsize
@@ -190,26 +193,51 @@ def train_rbm(
         order = rng.permutation(n)
         momentum = (hyper.final_momentum if epoch + 1 > hyper.momentum_epoch_thres
                     else hyper.init_momentum)
-        err_sum = 0.0
+        # stack the epoch's shuffled batches once and run ONE on-device scan:
+        # a single host<->device round trip per epoch instead of one per
+        # minibatch (the key-split order inside the scan matches the
+        # per-batch loop exactly, so results are unchanged)
+        batch_stack = np.zeros((n_batches, bs, d), np.float32)
+        mask_stack = np.zeros((n_batches, bs, 1), np.float32)
         for b in range(n_batches):
             idxs = order[b * bs : (b + 1) * bs]
-            batch = np.zeros((bs, d), np.float32)
-            mask = np.zeros((bs, 1), np.float32)
-            batch[: len(idxs)] = data[idxs]
-            mask[: len(idxs)] = 1.0
-            key, step_key = jax.random.split(key)
-            state, velocity, err = cd1_step(
-                state, velocity, jnp.asarray(batch), jnp.asarray(mask), step_key,
-                jnp.asarray(momentum, jnp.float32),
-                tuple(jnp.asarray(r, jnp.float32) for r in lrs),
-                vl_type=vl_type.lower(), hl_type=hl_type.lower(),
-                cd_type=hyper.cd_type, batchsize=bs,
-                weight_penalty_l2=hyper.weight_penalty_l2,
-            )
-            err_sum += float(err)
+            batch_stack[b, : len(idxs)] = data[idxs]
+            mask_stack[b, : len(idxs)] = 1.0
+        state, velocity, key, err_sum = _rbm_epoch(
+            state, velocity, key, jnp.asarray(batch_stack),
+            jnp.asarray(mask_stack), jnp.asarray(momentum, jnp.float32),
+            tuple(jnp.asarray(r, jnp.float32) for r in lrs),
+            vl_type=vl_type.lower(), hl_type=hl_type.lower(),
+            cd_type=hyper.cd_type, batchsize=bs,
+            weight_penalty_l2=hyper.weight_penalty_l2,
+        )
+        err_sum = float(err_sum)
         errors.append(err_sum / n)
         log_fn(f"RBM epoch {epoch + 1}: mse/sample = {err_sum / n:.6f}")
     return {k: np.asarray(v) for k, v in state.items()}, errors
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("vl_type", "hl_type", "cd_type",
+                                    "batchsize", "weight_penalty_l2"))
+def _rbm_epoch(state, velocity, key, batch_stack, mask_stack, momentum, lrs,
+               *, vl_type, hl_type, cd_type, batchsize, weight_penalty_l2):
+    """One epoch of CD-1 minibatch updates as a single lax.scan."""
+
+    def body(carry, inputs):
+        state, velocity, key, err_sum = carry
+        batch, mask = inputs
+        key, step_key = jax.random.split(key)
+        state, velocity, err = cd1_step(
+            state, velocity, batch, mask, step_key, momentum, lrs,
+            vl_type=vl_type, hl_type=hl_type, cd_type=cd_type,
+            batchsize=batchsize, weight_penalty_l2=weight_penalty_l2)
+        return (state, velocity, key, err_sum + err), None
+
+    (state, velocity, key, err_sum), _ = jax.lax.scan(
+        body, (state, velocity, key, jnp.float32(0.0)),
+        (batch_stack, mask_stack))
+    return state, velocity, key, err_sum
 
 
 def normalise_data(tr_fcn: str, data: np.ndarray, ps: Optional[tuple] = None):
