@@ -80,13 +80,13 @@ def finetune_autoencoder(
     n = len(X)
     for epoch in range(epochs):
         order = rng.permutation(n)
-        total, count = 0.0, 0
+        total, count = jnp.float32(0.0), 0
         for start in range(0, n - batchsize + 1, batchsize):
             batch = jnp.asarray(X[order[start : start + batchsize]])
             params, opt_state, loss = step(params, opt_state, batch)
-            total += float(loss)
+            total = total + loss  # device-side accumulate: no per-batch sync
             count += 1
-        log_fn(f"AE finetune epoch {epoch + 1}: loss = {total / max(count, 1):.6f}")
+        log_fn(f"AE finetune epoch {epoch + 1}: loss = {float(total) / max(count, 1):.6f}")
     return ae_params_to_lists(params)
 
 
@@ -130,15 +130,15 @@ def train_convae(
     history = []
     for epoch in range(epochs):
         order = rng.permutation(n)
-        total, count = 0.0, 0
+        total, count = jnp.float32(0.0), 0
         for start in range(0, n - batchsize + 1, batchsize):
             batch = jnp.asarray(X[order[start : start + batchsize]])
             jrng, step_rng = jax.random.split(jrng)
             params, opt_state, loss = step(params, opt_state, batch, step_rng,
                                            jnp.asarray(lr, jnp.float32))
-            total += float(loss)
+            total = total + loss  # device-side accumulate: no per-batch sync
             count += 1
-        history.append(total / max(count, 1))
+        history.append(float(total) / max(count, 1))
         log_fn(f"conv-AE epoch {epoch + 1}: loss = {history[-1]:.6f} (lr={lr:.4f})")
         if epoch + 1 >= decay_start:
             lr *= decay_rate

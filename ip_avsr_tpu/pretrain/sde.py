@@ -55,14 +55,14 @@ def train_denoising_layer(
     jkey = key
     for epoch in range(epochs):
         order = rng.permutation(n)
-        total, count = 0.0, 0
+        total, count = jnp.float32(0.0), 0
         for start in range(0, n - batchsize + 1, batchsize):
             jkey, noise_key = jax.random.split(jkey)
             batch = jnp.asarray(data[order[start : start + batchsize]])
             params, opt_state, loss = step(params, opt_state, batch, noise_key)
-            total += float(loss)
+            total = total + loss  # device-side accumulate: no per-batch sync
             count += 1
-        log_fn(f"SDE layer epoch {epoch + 1}: loss = {total / max(count, 1):.6f}")
+        log_fn(f"SDE layer epoch {epoch + 1}: loss = {float(total) / max(count, 1):.6f}")
     return np.asarray(params["w"]), np.asarray(params["b_enc"])
 
 
