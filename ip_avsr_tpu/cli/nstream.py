@@ -51,6 +51,9 @@ def parse_options(argv=None):
                              "'itervec': AVLetters-style iterations 1,2=train, "
                              "3=test (utils/preprocessing.py:54-74)")
     parser.add_argument("--mesh", action="store_true", help="data-parallel over devices")
+    parser.add_argument("--device_data", action="store_true",
+                        help="stage the training set in device HBM; per-step "
+                             "transfer is just the batch index array")
     parser.add_argument("--checkpoint_dir", help="orbax train-state checkpoints")
     parser.add_argument("--resume", action="store_true",
                         help="resume from the latest checkpoint in --checkpoint_dir")
@@ -268,6 +271,7 @@ def _train_and_report(options, clf, tc, stream_cfgs,
         checkpoint_dir=options.checkpoint_dir,
         resume=options.resume,
         bucket_boundaries=tc.bucket_boundaries,
+        device_data=options.device_data,
     )
 
     trainer = Trainer(model_cfg, topts)

@@ -80,6 +80,11 @@ class TrainOptions:
     # Requires use_mesh; on a single-process runtime it reduces to the same
     # sharded device_put as the plain path.
     multihost: bool = False
+    # stage the whole padded training set in device HBM once and gather each
+    # batch on-device: per step only the (B,) index array crosses the host
+    # boundary.  Single-device, unbucketed runs only (falls back silently
+    # otherwise); right-sized for the reference corpora (<1 GB dense).
+    device_data: bool = False
 
 
 @dataclasses.dataclass
@@ -173,6 +178,9 @@ class Trainer:
         self.train_step = jax.jit(train_step, donate_argnums=(0, 1))
         self.eval_cost = jax.jit(eval_cost)
         self.predict = jax.jit(predict)
+        # unjitted bodies, for fusing an on-device gather in front (device_data)
+        self._train_step_raw = train_step
+        self._eval_cost_raw = eval_cost
 
     # -- data plumbing ------------------------------------------------------
 
@@ -337,21 +345,61 @@ class Trainer:
         lr = o.learning_rate
         epochs_run = 0
 
-        batch_iter = self._infinite_batches(train_ds, o.batchsize, rng)
+        # device-resident training data: the dense tensors live in HBM and
+        # every step gathers its batch on-device — only a (B,) index array
+        # and a validity mask cross the host boundary per step
+        use_device_data = (o.device_data and self.mesh is None
+                           and not isinstance(train_ds, BucketedDataset))
+        if use_device_data:
+            device = jax.devices()[0]
+            dense_dev = [jax.device_put(jnp.asarray(d, jnp.float32), device)
+                         for d in train_ds.dense]
+            y_dev = jax.device_put(jnp.asarray(train_ds.y, jnp.int32), device)
+            mask_dev = jax.device_put(jnp.asarray(train_ds.mask, jnp.float32),
+                                      device)
+            raw_step, raw_cost = self._train_step_raw, self._eval_cost_raw
+
+            def _gather(idxs, valid):
+                streams = [d[idxs] for d in dense_dev]
+                # padded batch rows duplicate row 0; zeroing their mask makes
+                # them exact no-ops in the masked losses
+                return streams, y_dev[idxs], mask_dev[idxs] * valid[:, None]
+
+            step_from_idx = jax.jit(
+                lambda params, opt_state, idxs, valid, rng, lr: raw_step(
+                    params, opt_state, *_gather(idxs, valid), rng, lr),
+                donate_argnums=(0, 1))
+            cost_from_idx = jax.jit(
+                lambda params, idxs, valid: raw_cost(params,
+                                                     *_gather(idxs, valid)))
+            batch_iter = self._infinite_index_batches(train_ds, o.batchsize, rng)
+        else:
+            batch_iter = self._infinite_batches(train_ds, o.batchsize, rng)
+
         for epoch in range(start_epoch, o.num_epoch):
             t0 = time.time()
             last_batch = None
             for _ in range(o.epochsize):
-                streams, y, mask = next(batch_iter)
-                dev = self._device_batch(streams, y, mask)
                 jrng, step_rng = jax.random.split(jrng)
-                params, opt_state, _ = self.train_step(
-                    params, opt_state, dev[0], dev[1], dev[2], step_rng,
-                    jnp.asarray(lr, jnp.float32))
-                last_batch = dev
+                if use_device_data:
+                    idxs, valid = next(batch_iter)
+                    params, opt_state, _ = step_from_idx(
+                        params, opt_state, idxs, valid, step_rng,
+                        jnp.asarray(lr, jnp.float32))
+                    last_batch = (idxs, valid)
+                else:
+                    streams, y, mask = next(batch_iter)
+                    dev = self._device_batch(streams, y, mask)
+                    params, opt_state, _ = self.train_step(
+                        params, opt_state, dev[0], dev[1], dev[2], step_rng,
+                        jnp.asarray(lr, jnp.float32))
+                    last_batch = dev
             epochs_run = epoch + 1
 
-            cost = float(self.eval_cost(params, *last_batch))
+            if use_device_data:
+                cost = float(cost_from_idx(params, *last_batch))
+            else:
+                cost = float(self.eval_cost(params, *last_batch))
             val_cost = float(self.eval_cost(params, *val_dev))
 
             if o.recover_on_nan and not (np.isfinite(cost) and np.isfinite(val_cost)):
@@ -423,6 +471,21 @@ class Trainer:
     def init_params(self, key, pretrained_encoders=None, pretrained_stream_lstms=None):
         return adenet.init_adenet_params(key, self.config, pretrained_encoders,
                                          pretrained_stream_lstms)
+
+    def _infinite_index_batches(self, ds, batchsize: int, rng):
+        """Index-only batch stream for device-resident data (device_data):
+        same shuffle order as _infinite_batches, but each step yields a (B,)
+        int32 index array plus a row-validity mask for the padded tail."""
+        while True:
+            order = rng.permutation(ds.n)
+            for start in range(0, ds.n, batchsize):
+                idxs = order[start : start + batchsize]
+                n_valid = len(idxs)
+                if n_valid < batchsize:
+                    idxs = np.concatenate(
+                        [idxs, np.zeros(batchsize - n_valid, idxs.dtype)])
+                valid = (np.arange(batchsize) < n_valid).astype(np.float32)
+                yield jnp.asarray(idxs.astype(np.int32)), jnp.asarray(valid)
 
     def _infinite_batches(self, ds, batchsize: int, rng):
         """Shuffled video-level batches, statically padded to ``batchsize``

@@ -250,3 +250,29 @@ def test_trainer_recovers_from_nan():
     # the NaN epochs never poison the recorded histories
     assert all(np.isfinite(c) for c in result.cost_train)
     assert all(np.isfinite(c) for c in result.cost_val)
+
+
+def test_trainer_device_data_matches_host_path():
+    """device_data=True (HBM-resident dataset, on-device batch gather) must
+    reproduce the host-assembled path exactly: same shuffle order, same
+    costs, same final parameters."""
+    import jax
+
+    X, y, lens = make_synthetic(26)  # 26 % 8 != 0: exercises padded idx rows
+    Xv, yv, lensv = make_synthetic(8, seed=1)
+    cfg = zoo.lstm_classifier_majority_vote(12, lstm_size=8, output_classes=4)
+    results = []
+    for dd in (False, True):
+        opts = TrainOptions(num_epoch=3, epochsize=4, batchsize=8,
+                            learning_rate=0.01, validation_window=50, seed=0,
+                            log_fn=lambda s: None, device_data=dd)
+        results.append(Trainer(cfg, opts).fit(([X], y, lens), ([Xv], yv, lensv),
+                                              ([Xv], yv, lensv)))
+    np.testing.assert_allclose(results[0].cost_train, results[1].cost_train,
+                               rtol=1e-5)
+    np.testing.assert_allclose(results[0].cost_val, results[1].cost_val,
+                               rtol=1e-5)
+    for a, b in zip(jax.tree_util.tree_leaves(results[0].best_params),
+                    jax.tree_util.tree_leaves(results[1].best_params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-7)
