@@ -20,14 +20,12 @@ Usage:
 from __future__ import annotations
 
 import argparse
-import pickle
 
 import numpy as np
 
 from ip_avsr_tpu.data import preprocessing as pp
 from ip_avsr_tpu.io import matio
 from ip_avsr_tpu.models import adenet, zoo
-from ip_avsr_tpu.models.adenet import init_adenet_params
 from ip_avsr_tpu.ops.nonlinearities import select_nonlinearity  # noqa: F401 (registry check)
 from ip_avsr_tpu.train import config as config_lib
 from ip_avsr_tpu.train.evaluation import plot_confusion_matrix

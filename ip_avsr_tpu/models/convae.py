@@ -26,7 +26,6 @@ kernels in the decoder, which preserves the reference's weight tying exactly.
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional
 
 import jax
 import jax.numpy as jnp

@@ -9,7 +9,6 @@ raw (B, T, D) uint8/float pixels in, (B, C) scores out, nothing on the host.
 
 from __future__ import annotations
 
-import functools
 from typing import Optional
 
 import jax

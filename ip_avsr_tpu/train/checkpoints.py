@@ -10,7 +10,7 @@ import/export paths (io/matio.py).
 from __future__ import annotations
 
 import os
-from typing import Any, Optional
+from typing import Optional
 
 import jax
 import numpy as np

@@ -182,3 +182,47 @@ def test_gen_lstm_seq_random_contract():
     assert sorted(seen) == [0, 1, 2, 3]
     # the generator keeps going (new permutation)
     next(gen)
+
+
+def test_prefetch_order_exceptions_and_overlap():
+    """prefetch preserves order, forwards producer exceptions at the right
+    position, and actually runs the producer ahead of the consumer."""
+    import time
+
+    from ip_avsr_tpu.data.prefetch import prefetch
+
+    # order
+    assert list(prefetch(range(10), buffer_size=3)) == list(range(10))
+
+    # exception forwarding
+    def boom():
+        yield 1
+        yield 2
+        raise ValueError("producer failed")
+
+    it = prefetch(boom())
+    assert next(it) == 1 and next(it) == 2
+    try:
+        next(it)
+        assert False, "expected ValueError"
+    except ValueError:
+        pass
+
+    # overlap: producer items become ready while the consumer sleeps
+    produced = []
+
+    def slowish():
+        for i in range(4):
+            produced.append(i)
+            yield i
+
+    it = prefetch(slowish(), buffer_size=4)
+    first = next(it)
+    time.sleep(0.05)  # give the worker time to run ahead
+    assert first == 0
+    assert len(produced) == 4  # everything was produced in the background
+    assert list(it) == [1, 2, 3]
+
+    # works with the file-backed generator's infinite form
+    gen = prefetch(iter(int(i) for i in np.arange(1000)), buffer_size=2)
+    assert [next(gen) for _ in range(5)] == [0, 1, 2, 3, 4]
