@@ -317,11 +317,14 @@ def main():
         latency_calls = 20
     else:
         # keep the compile count bounded: with per-process XLA caches only,
-        # every extra shape costs a fresh 20-60s compile in the driver's run
-        batches = [args.batch] if args.batch else [1024, 2048]
+        # every extra shape costs a fresh 20-60s compile in the driver's run.
+        # Batch ladders picked by measurement: fwd 4096 > 2048 (+2.3%),
+        # train 1024 > 512/256 (+10.6%) — the bigger step batch amortizes the
+        # sequential LSTM chain.
+        batches = [args.batch] if args.batch else [2048, 4096]
         iters = 20
         cpu_iters = 3
-        train_batches = [256, 512]
+        train_batches = [256, 1024]
         train_iters = 10
         latency_calls = 30
 
