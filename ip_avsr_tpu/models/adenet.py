@@ -222,11 +222,35 @@ def adenet_forward(
     the params by the trainer.
     """
     window = config.window if window is None else window
-    mmdtype = config._matmul_dtype()
-    B, T = inputs[0].shape[0], inputs[0].shape[1]
     if dropout_rng is None:
         dropout_rng = jax.random.PRNGKey(0)
     rngs = jax.random.split(dropout_rng, len(config.streams) + max(config.agg_layers, 1))
+    stream_feats, aux = stream_prefix(params, config, inputs, train,
+                                      rngs[: len(config.streams)], window=window)
+    out = head_forward(params, config, stream_feats, mask, train,
+                       rngs[len(config.streams):])
+    if return_aux:
+        return out, aux
+    return out
+
+
+def stream_prefix(params, config: AdeNetConfig, inputs, train, rngs,
+                  window=None, delta_fn=None):
+    """The frame-parallel part of the forward: per stream, encoder -> [BN] ->
+    delta -> dropout.  Every op here is local to a frame except the delta
+    window — which is why this prefix is the sequence-parallel region
+    (parallel/sequence.py swaps ``delta_fn`` for a halo-exchange variant).
+
+    Returns (stream_feats, aux) with aux carrying BN running-stat updates.
+    """
+    window = config.window if window is None else window
+    mmdtype = config._matmul_dtype()
+    B, T = inputs[0].shape[0], inputs[0].shape[1]
+    if delta_fn is None:
+        # the Pallas kernel carries a custom VJP (the FIR is linear, so
+        # backward is its fixed transpose via the XLA formulation), so the
+        # same heuristic dispatch applies under training and inference
+        delta_fn = lambda x: delta_layer(x, window)  # noqa: E731
     aux = {"bn_state": {}}
 
     stream_feats = []
@@ -243,12 +267,20 @@ def adenet_forward(
             x, new_bn = norm_ops.batch_norm_forward(sp["bn"], sp["bn_state"], x, train)
             aux["bn_state"][spec.name] = new_bn
         if spec.use_delta:
-            # the Pallas kernel carries a custom VJP (the FIR is linear, so
-            # backward is its fixed transpose via the XLA formulation), so the
-            # same heuristic dispatch applies under training and inference
-            x = delta_layer(x, window)
+            x = delta_fn(x)
         x = _dropout(x, spec.dropout, rngs[i], train)
         stream_feats.append(x)
+    return stream_feats, aux
+
+
+def head_forward(params, config: AdeNetConfig, stream_feats, mask, train,
+                 agg_rngs):
+    """The recurrent part of the forward: per-stream LSTMs -> fusion ->
+    aggregator (B)LSTM stack -> classifier head.  Sequential in time, so it
+    runs data-parallel (batch-sharded) even when the prefix was
+    sequence-parallel."""
+    mmdtype = config._matmul_dtype()
+    B, T = stream_feats[0].shape[0], stream_feats[0].shape[1]
 
     def run_lstm(p, feats, m, backwards=False):
         if (config.lstm_impl == "pallas" and not train
@@ -280,7 +312,7 @@ def adenet_forward(
 
     agg = fused
     for layer in range(config.agg_layers):
-        agg = _dropout(agg, config.agg_dropout, rngs[len(config.streams) + layer], train)
+        agg = _dropout(agg, config.agg_dropout, agg_rngs[layer], train)
         lp = params["aggregator"][layer]
         if config.agg_bidirectional:
             if config.fuse_scans and lstm_ops.can_group_lstms([lp["fwd"], lp["bwd"]]):
@@ -304,6 +336,4 @@ def adenet_forward(
         out = jax.nn.softmax(last @ w + b, axis=-1)
     else:
         raise ValueError(f"unknown output_mode: {config.output_mode}")
-    if return_aux:
-        return out, aux
     return out
