@@ -30,8 +30,34 @@ def read_data_split_file(path, sep=","):
 
 
 def load_mat_file(path):
-    """Load a .mat file into a dict (utils/io.py:18-24)."""
+    """Load a .mat file into a dict (utils/io.py:18-24).
+
+    Dispatches to the native C++ reader (ip_avsr_tpu/native) for the strict
+    numeric-array subset that covers this framework's whole .mat ABI — same
+    dict contract as scipy.io.loadmat (storage dtypes, Fortran order,
+    min-2-D) — and falls back to scipy for anything else (cell/char/struct/
+    sparse/complex files, or when the native library is unavailable).
+    Disable with ``IP_AVSR_NATIVE=0``.  For corpus-scale loads prefer
+    :func:`load_mat_files` (parallel, GIL-free)."""
+    from ip_avsr_tpu import native
+
+    if native.available():
+        d = native.load_mat_native(path)
+        if d is not None:
+            return d
     return sio.loadmat(path)
+
+
+def load_mat_files(paths, workers=None):
+    """Load many .mat files (native parser in a thread pool — the C parse
+    and zlib inflation run without the GIL, so multi-core hosts overlap
+    them; files the native reader rejects fall back to scipy).  Returns
+    dicts in input order."""
+    from ip_avsr_tpu import native
+
+    if not native.available():
+        return [sio.loadmat(p) for p in paths]
+    return native.load_many(paths, workers=workers)
 
 
 def save_mat(d, path):
