@@ -312,7 +312,7 @@ def main():
         batches = [args.batch or 512]
         iters = 10
         cpu_iters = 1
-        train_batches = [256]
+        train_batches = [(256, "bfloat16")]
         train_iters = 5
         latency_calls = 20
     else:
@@ -324,7 +324,10 @@ def main():
         batches = [args.batch] if args.batch else [2048, 4096]
         iters = 20
         cpu_iters = 3
-        train_batches = [256, 1024]
+        # (batch, matmul_dtype): f32 wins at B=1024 (28.5k vs 27.5k bf16 —
+        # the backward is HBM-bound and bf16 operand casts add traffic);
+        # bf16 wins small-batch (docs/DESIGN.md matrix)
+        train_batches = [(256, "bfloat16"), (1024, None)]
         train_iters = 10
         latency_calls = 30
 
@@ -357,8 +360,8 @@ def main():
     latency_baseline = cached("serve_cpu_ms", measure_serving_latency_cpu_reference)
 
     best_train = 0.0
-    for b in train_batches:
-        best_train = max(best_train, measure_train(b, train_iters))
+    for b, md in train_batches:
+        best_train = max(best_train, measure_train(b, train_iters, matmul_dtype=md))
     print(json.dumps({
         "metric": "trimodal_train_utt_per_sec_per_chip",
         "value": round(best_train, 2),
