@@ -35,16 +35,20 @@ from ip_avsr_tpu.utils import plotting
 
 
 def map_confusion(probs, y, mask):
-    """(utterance_idx, truth, predicted) for every misclassified utterance
-    (avletters/confusion_visualizer.py:167-184), handling both per-step
-    majority-vote heads and last-step heads."""
+    """(confusions, preds): the misclassified-utterance triples
+    ``(utterance_idx, truth, predicted)`` (avletters/
+    confusion_visualizer.py:167-184) plus the full prediction vector (so
+    callers build the confusion matrix from the same vote, not a second
+    pass).  Handles per-step majority-vote and last-step heads."""
     probs = np.asarray(probs)
     if probs.ndim == 3:
         preds = np.asarray(masked_majority_vote(probs, np.asarray(mask)))
     else:
         preds = np.argmax(probs, axis=1)
-    return [(i, int(t), int(p)) for i, (t, p) in enumerate(zip(np.asarray(y), preds))
-            if int(t) != int(p)]
+    confusions = [(i, int(t), int(p))
+                  for i, (t, p) in enumerate(zip(np.asarray(y), preds))
+                  if int(t) != int(p)]
+    return confusions, preds
 
 
 def main(argv=None):
@@ -111,13 +115,9 @@ def main(argv=None):
     probs = np.asarray(predict(params, [jnp.asarray(s) for s in streams],
                                jnp.asarray(mask, jnp.float32)))
 
-    confusions = map_confusion(probs, y_seq, mask)
+    confusions, preds = map_confusion(probs, y_seq, mask)
     classnames = clf.output_classnames or [str(i) for i in range(clf.output_classes)]
     conf_mat = np.zeros((clf.output_classes, clf.output_classes), np.int64)
-    if probs.ndim == 3:
-        preds = np.asarray(masked_majority_vote(probs, np.asarray(mask)))
-    else:
-        preds = np.argmax(probs, axis=1)
     for t, p in zip(y_seq, preds):
         conf_mat[int(t), int(p)] += 1
 

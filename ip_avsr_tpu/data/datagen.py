@@ -265,6 +265,10 @@ class BucketedDataset:
             qs = np.percentile(seqlens, [50, 75, 100]).astype(np.int64)
             boundaries = sorted(set(int(q) for q in qs))
         self.boundaries = list(boundaries)
+        if self.boundaries != sorted(set(self.boundaries)):
+            raise ValueError(
+                f"bucket boundaries must be ascending and unique "
+                f"(searchsorted assignment): {self.boundaries}")
         self.buckets = []
         self.bucket_video_idxs = []
         assignments = np.searchsorted(self.boundaries, np.minimum(
@@ -305,10 +309,13 @@ class BucketedDataset:
             valid += int(ds.seqlens.sum())
         return 1.0 - valid / total if total else 0.0
 
-    def epoch_batches(self, batchsize, shuffle=True, rng=None):
+    def epoch_batches(self, batchsize, shuffle=True, rng=None, pad_to=None):
         """Iterate one epoch: batches from each bucket (bucket order shuffled),
-        each with that bucket's static (batchsize, bound, D) shape."""
+        each with that bucket's static (pad_to or batchsize, bound, D) shape.
+        ``pad_to`` lets mesh callers request a device-count-multiple batch in
+        the SAME gather (no second host-side copy)."""
         rng = np.random if rng is None else rng
+        pad_to = int(pad_to or batchsize)
         jobs = []
         for b, ds in enumerate(self.buckets):
             if ds is None:
@@ -322,7 +329,7 @@ class BucketedDataset:
             job_order = np.arange(len(jobs))
         for j in job_order:
             b, idxs = jobs[j]
-            streams, y, mask = self.buckets[b].gather(idxs, pad_to=batchsize)
+            streams, y, mask = self.buckets[b].gather(idxs, pad_to=pad_to)
             yield b, streams, y, mask, idxs
 
 

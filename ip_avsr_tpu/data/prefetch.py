@@ -6,7 +6,8 @@ for every batch.  ``prefetch`` decouples producer and consumer with a
 bounded queue on a daemon thread, so host I/O and preprocessing overlap
 device execution — the standard input-pipeline shape for accelerator
 training (the device never waits for the disk unless the disk truly can't
-keep up).
+keep up).  The Trainer wraps its host-side batch stream with this
+(TrainOptions.prefetch_batches).
 
 Works with any iterator/generator (finite or infinite); preserves order.
 """
@@ -29,28 +30,52 @@ def prefetch(iterable: Iterable, buffer_size: int = 2) -> Iterator:
     """Iterate ``iterable`` on a daemon thread, ``buffer_size`` items ahead.
 
     Exceptions raised by the producer are re-raised in the consumer at the
-    point the failing item would have been consumed.
+    point the failing item would have been consumed.  Abandoning the
+    returned generator (break / exception / GC) stops the producer: its
+    puts are stop-aware, so it never parks forever holding the underlying
+    iterator's resources.
     """
     if buffer_size < 1:
         raise ValueError("buffer_size must be >= 1")
     q: "queue.Queue" = queue.Queue(maxsize=buffer_size)
+    stop = threading.Event()
+
+    def _put(item) -> bool:
+        """Bounded put that gives up when the consumer is gone."""
+        while not stop.is_set():
+            try:
+                q.put(item, timeout=0.1)
+                return True
+            except queue.Full:
+                continue
+        return False
 
     def worker():
         try:
             for item in iterable:
-                q.put(item)
+                if not _put(item):
+                    return
         except BaseException as e:  # noqa: BLE001 — forwarded to the consumer
-            q.put(e)
+            _put(e)
             return
-        q.put(_END)
+        _put(_END)
 
     t = threading.Thread(target=worker, daemon=True)
     t.start()
 
-    while True:
-        item = q.get()
-        if item is _END:
-            return
-        if isinstance(item, BaseException):
-            raise item
-        yield item
+    try:
+        while True:
+            item = q.get()
+            if item is _END:
+                return
+            if isinstance(item, BaseException):
+                raise item
+            yield item
+    finally:
+        stop.set()
+        # drain so a producer blocked mid-put can observe the stop promptly
+        try:
+            while True:
+                q.get_nowait()
+        except queue.Empty:
+            pass

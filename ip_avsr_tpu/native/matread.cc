@@ -105,6 +105,9 @@ bool parse_matrix(const uint8_t* p, size_t n, Handle* h) {
   std::memcpy(&flags, data, 4);
   arr.mclass = flags & 0xff;
   if (flags & 0x0800) { h->error = "complex arrays unsupported"; return false; }
+  // logical arrays load as bool through scipy; defer to the fallback so
+  // dtypes never diverge between the two readers
+  if (flags & 0x0200) { h->error = "logical arrays unsupported"; return false; }
   if (!numeric_class(arr.mclass)) {
     h->error = "non-numeric array class " + std::to_string(arr.mclass);
     return false;

@@ -279,16 +279,82 @@ def _lstm_core_fwd_impl(static, w_in, w_hid, b, cell_init, hid_init, x, mask):
     if backwards:
         out = jnp.flip(out, axis=1)
     # x and mask stored time-FORWARD-of-scan (i.e. already flipped when
-    # backwards); the bwd pass mirrors the flips on the way out.
-    residuals = (w_in, w_hid, x, mask, hids, cells, gates_pre, cell0, hid0)
+    # backwards); the bwd pass mirrors the flips on the way out.  b /
+    # cell_init / hid_init ride along so the bwd can return cotangents in
+    # their dtypes (a bf16 param tree must get bf16 grads, or the first
+    # optimizer update silently promotes those leaves to f32).
+    residuals = (w_in, w_hid, b, cell_init, hid_init, x, mask, hids, cells,
+                 gates_pre, cell0, hid0)
     return out, residuals
+
+
+def _lstm_core_primal_impl(static, w_in, w_hid, b, cell_init, hid_init, x, mask):
+    """Primal-only forward: no training residuals.
+
+    The custom-vjp PRIMAL runs when nothing is being differentiated
+    (eval/predict through ``lstm_forward``'s default path).  The
+    residual-emitting implementations would then write cells + (T,B,4H)
+    pre-activation gates to HBM that nothing consumes — XLA's DCE prunes
+    them out of a scan, but a ``pallas_call`` is opaque, so on TPU the train
+    kernel would pay ~6x the inference kernel's output bytes for nothing.
+    This impl dispatches the inference kernel (bit-exact vs the scan)
+    instead, and a hids-only scan elsewhere.
+    """
+    backwards, _grad_clipping, md = static
+    mmdtype = jnp.dtype(md) if md else None
+    B, T, D = x.shape
+    H = w_hid.shape[0]
+    f32 = x.dtype
+    if backwards:
+        x = jnp.flip(x, axis=1)
+        mask = jnp.flip(mask, axis=1)
+    x_mm = x.astype(mmdtype) if mmdtype else x
+    w_in_mm = w_in.astype(mmdtype) if mmdtype else w_in
+    x_proj = (
+        jnp.dot(x_mm.reshape(B * T, D), w_in_mm, preferred_element_type=jnp.float32)
+        .reshape(B, T, 4 * H)
+        .astype(f32)
+        + b.astype(f32)
+    )
+    cell0 = jnp.broadcast_to(cell_init, (B, H)).astype(f32)
+    hid0 = jnp.broadcast_to(hid_init, (B, H)).astype(f32)
+    w_hid_mm = w_hid.astype(mmdtype) if mmdtype else w_hid
+
+    if _pallas_train_ok(B, T, H):
+        from ip_avsr_tpu.ops.pallas import lstm_kernel
+
+        out = lstm_kernel.lstm_pallas(x_proj, w_hid_mm, mask.astype(f32),
+                                      cell0, hid0)
+    else:
+        x_proj_t = jnp.transpose(x_proj, (1, 0, 2))
+        mask_t = jnp.transpose(mask, (1, 0))[..., None]
+
+        def step(carry, inputs):
+            cell_prev, hid_prev = carry
+            xp, m = inputs
+            gates = xp + jnp.dot(hid_prev.astype(w_hid_mm.dtype), w_hid_mm,
+                                 preferred_element_type=jnp.float32).astype(f32)
+            i = jax.nn.sigmoid(gates[:, :H])
+            f = jax.nn.sigmoid(gates[:, H : 2 * H])
+            c_in = jnp.tanh(gates[:, 2 * H : 3 * H])
+            o = jax.nn.sigmoid(gates[:, 3 * H :])
+            cell_cand = f * cell_prev + i * c_in
+            hid_cand = o * jnp.tanh(cell_cand)
+            cell = m * cell_cand + (1.0 - m) * cell_prev
+            hid = m * hid_cand + (1.0 - m) * hid_prev
+            return (cell, hid), hid
+
+        (_, _), hids = jax.lax.scan(step, (cell0, hid0), (x_proj_t, mask_t))
+        out = jnp.transpose(hids, (1, 0, 2))
+    if backwards:
+        out = jnp.flip(out, axis=1)
+    return out
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
 def _lstm_core(static, w_in, w_hid, b, cell_init, hid_init, x, mask):
-    out, _ = _lstm_core_fwd_impl(static, w_in, w_hid, b, cell_init, hid_init,
-                                 x, mask)
-    return out
+    return _lstm_core_primal_impl(static, w_in, w_hid, b, cell_init, hid_init,
+                                  x, mask)
 
 
 def _lstm_core_fwd(static, w_in, w_hid, b, cell_init, hid_init, x, mask):
@@ -298,7 +364,8 @@ def _lstm_core_fwd(static, w_in, w_hid, b, cell_init, hid_init, x, mask):
 def _lstm_core_bwd(static, residuals, g_out):
     backwards, grad_clipping, md = static
     mmdtype = jnp.dtype(md) if md else None
-    w_in, w_hid, x, mask, hids, cells, gates_pre, cell0, hid0 = residuals
+    (w_in, w_hid, b_p, cell_init_p, hid_init_p, x, mask, hids, cells,
+     gates_pre, cell0, hid0) = residuals
     T, B, H = hids.shape
     D = x.shape[-1]
     f32 = x.dtype
@@ -369,12 +436,12 @@ def _lstm_core_bwd(static, residuals, g_out):
         dw_in = jnp.dot(x_flat.T, dg_flat,
                         preferred_element_type=jnp.float32).astype(w_in.dtype)
         dx = jnp.dot(dg_flat, w_in.T, preferred_element_type=jnp.float32).astype(f32)
-    db = dg_flat.sum(axis=0)
+    db = dg_flat.sum(axis=0).astype(b_p.dtype)
     dx = jnp.transpose(dx.reshape(T, B, D), (1, 0, 2))
     if backwards:
         dx = jnp.flip(dx, axis=1)
-    dcell_init = dcell0_g.sum(axis=0, keepdims=True)
-    dhid_init = dhid0_g.sum(axis=0, keepdims=True)
+    dcell_init = dcell0_g.sum(axis=0, keepdims=True).astype(cell_init_p.dtype)
+    dhid_init = dhid0_g.sum(axis=0, keepdims=True).astype(hid_init_p.dtype)
     dmask = jnp.zeros_like(mask)
     return dw_in, dw_hid, db, dcell_init, dhid_init, dx, dmask
 
@@ -432,8 +499,8 @@ def _lstm_core_peep_fwd_impl(static, w_in, w_hid, b, cell_init, hid_init,
     out = jnp.transpose(hids, (1, 0, 2))
     if backwards:
         out = jnp.flip(out, axis=1)
-    residuals = (w_in, w_hid, w_ci, w_cf, w_co, x, mask, hids, cells,
-                 gates_pre, cell0, hid0)
+    residuals = (w_in, w_hid, b, cell_init, hid_init, w_ci, w_cf, w_co, x,
+                 mask, hids, cells, gates_pre, cell0, hid0)
     return out, residuals
 
 
@@ -454,8 +521,8 @@ def _lstm_core_peep_fwd(static, w_in, w_hid, b, cell_init, hid_init,
 def _lstm_core_peep_bwd(static, residuals, g_out):
     backwards, grad_clipping, md = static
     mmdtype = jnp.dtype(md) if md else None
-    (w_in, w_hid, w_ci, w_cf, w_co, x, mask, hids, cells, gates_pre,
-     cell0, hid0) = residuals
+    (w_in, w_hid, b_p, cell_init_p, hid_init_p, w_ci, w_cf, w_co, x, mask,
+     hids, cells, gates_pre, cell0, hid0) = residuals
     T, B, H = hids.shape
     D = x.shape[-1]
     f32 = x.dtype
@@ -524,12 +591,15 @@ def _lstm_core_peep_bwd(static, residuals, g_out):
         dw_in = jnp.dot(x_flat.T, dg_flat,
                         preferred_element_type=jnp.float32).astype(w_in.dtype)
         dx = jnp.dot(dg_flat, w_in.T, preferred_element_type=jnp.float32).astype(f32)
-    db = dg_flat.sum(axis=0)
+    db = dg_flat.sum(axis=0).astype(b_p.dtype)
     dx = jnp.transpose(dx.reshape(T, B, D), (1, 0, 2))
     if backwards:
         dx = jnp.flip(dx, axis=1)
-    dcell_init = dcell0_g.sum(axis=0, keepdims=True)
-    dhid_init = dhid0_g.sum(axis=0, keepdims=True)
+    dcell_init = dcell0_g.sum(axis=0, keepdims=True).astype(cell_init_p.dtype)
+    dhid_init = dhid0_g.sum(axis=0, keepdims=True).astype(hid_init_p.dtype)
+    dw_ci = dw_ci.astype(w_ci.dtype)
+    dw_cf = dw_cf.astype(w_cf.dtype)
+    dw_co = dw_co.astype(w_co.dtype)
     dmask = jnp.zeros_like(mask)
     return (dw_in, dw_hid, db, dcell_init, dhid_init, dw_ci, dw_cf, dw_co,
             dx, dmask)

@@ -111,11 +111,17 @@ def _append_delta_pallas_impl(x: jnp.ndarray, window: int) -> jnp.ndarray:
 
 
 def should_use_pallas(x, window: int) -> bool:
-    """Heuristic dispatch: TPU backend, block fits VMEM, big enough to pay off."""
+    """Heuristic dispatch: TPU backend, block fits VMEM, big enough to pay off.
+
+    Disabled when more than one device is visible: auto-dispatching an
+    opaque ``pallas_call`` inside a mesh-sharded program would force GSPMD
+    to all-gather the sharded operands (or fail to partition); multi-chip
+    meshes take the XLA formulation, which partitions cleanly.
+    """
     if pltpu is None:
         return False
     try:
-        if jax.default_backend() != "tpu":
+        if jax.default_backend() != "tpu" or jax.device_count() > 1:
             return False
     except Exception:  # pragma: no cover
         return False

@@ -313,11 +313,14 @@ def lstm_pallas_bwd_chain(g_out_t, gates_pre, cells, cells_prev, mask_t, w_hid,
 def should_use_pallas_train(B: int, T: int, H: int, dtype_bytes: int = 4) -> bool:
     """Dispatch heuristic for the training-path kernels: TPU backend and the
     per-step working set (w_hid + x_proj/gates blocks + scratch, double
-    buffered) fits comfortably in VMEM."""
+    buffered) fits comfortably in VMEM.  Disabled when more than one device
+    is visible — an auto-dispatched opaque ``pallas_call`` inside a
+    mesh-sharded train step can't be partitioned by GSPMD; multi-chip
+    meshes use the XLA scans, which shard cleanly."""
     if pltpu is None:
         return False
     try:
-        if jax.default_backend() != "tpu":
+        if jax.default_backend() != "tpu" or jax.device_count() > 1:
             return False
     except Exception:  # pragma: no cover
         return False

@@ -63,7 +63,7 @@ def make_server(params: dict, config: adenet.AdeNetConfig, vote: bool = True):
 
 def make_bucketed_server(params: dict, config: adenet.AdeNetConfig,
                          batch_buckets=(1, 8, 32), time_buckets=(32, 64),
-                         vote: bool = True):
+                         vote: bool = True, allow_time_truncation: bool = False):
     """Production server for ARBITRARY request sizes under static XLA shapes.
 
     XLA compiles one program per shape; a naive server would recompile for
@@ -71,8 +71,12 @@ def make_bucketed_server(params: dict, config: adenet.AdeNetConfig,
     (batch_bucket, time_bucket) — at most ``len(batch_buckets) *
     len(time_buckets)`` compilations ever — zero-padding rows/frames (padded
     rows carry an all-zero mask; padded frames are masked) and slicing the
-    padding off the scores.  Requests larger than the biggest bucket are
-    processed in chunks of it.
+    padding off the scores.  Requests with more utterances than the biggest
+    batch bucket are processed in chunks of it.  Time cannot be chunked (the
+    recurrence carries state across frames), so a request LONGER than the
+    biggest time bucket raises — size ``time_buckets[-1]`` to the corpus
+    maximum, or opt in to lossy prefix classification with
+    ``allow_time_truncation=True``.
 
     Returns ``serve(streams, lengths) -> (B, C) scores`` where ``streams[i]``
     is (B, T_actual, D_i) and ``lengths`` the per-utterance frame counts.
@@ -107,7 +111,12 @@ def make_bucketed_server(params: dict, config: adenet.AdeNetConfig,
             return jnp.concatenate(outs, axis=0)
         bb = _bucket(B, batch_buckets)
         tb = _bucket(T, time_buckets)
-        if T > tb:  # longer than the largest bucket: truncate to it
+        if T > tb:
+            if not allow_time_truncation:
+                raise ValueError(
+                    f"request has T={T} frames but the largest time bucket is "
+                    f"{tb}; raise time_buckets or pass allow_time_truncation="
+                    f"True to classify the first {tb} frames only")
             streams = [s[:, :tb] for s in streams]
             lengths = np.minimum(lengths, tb)
             T = tb

@@ -172,7 +172,8 @@ def _parse_buckets(raw):
     raw = raw.strip()
     if raw.lower() == "auto":
         return "auto"
-    return [int(b) for b in raw.split(",")]
+    # searchsorted in BucketedDataset needs ascending unique boundaries
+    return sorted(set(int(b) for b in raw.split(",")))
 
 
 def parse_legacy_config(cp: configparser.ConfigParser) -> dict:

@@ -80,6 +80,10 @@ class TrainOptions:
     # Requires use_mesh; on a single-process runtime it reduces to the same
     # sharded device_put as the plain path.
     multihost: bool = False
+    # host-side batch assembly runs on a background thread (data/prefetch.py)
+    # so gathering/padding the next batch overlaps device execution of the
+    # current step; order- and exception-preserving, off switch for debugging
+    prefetch_batches: bool = True
     # stage the whole padded training set in device HBM once and gather each
     # batch on-device: per step only the (B,) index array crosses the host
     # boundary.  Single-device, unbucketed runs only (falls back silently
@@ -375,6 +379,10 @@ class Trainer:
             batch_iter = self._infinite_index_batches(train_ds, o.batchsize, rng)
         else:
             batch_iter = self._infinite_batches(train_ds, o.batchsize, rng)
+            if o.prefetch_batches:
+                from ip_avsr_tpu.data.prefetch import prefetch
+
+                batch_iter = prefetch(batch_iter, buffer_size=2)
 
         for epoch in range(start_epoch, o.num_epoch):
             t0 = time.time()
@@ -500,9 +508,8 @@ class Trainer:
             pad_to = int(-(-batchsize // n_dev) * n_dev)
         if isinstance(ds, BucketedDataset):
             while True:
-                for b, streams, y, mask, idxs in ds.epoch_batches(batchsize, rng=rng):
-                    if len(mask) < pad_to:
-                        streams, y, mask = ds.buckets[b].gather(idxs, pad_to=pad_to)
+                for _, streams, y, mask, _ in ds.epoch_batches(
+                        batchsize, rng=rng, pad_to=pad_to):
                     yield streams, y, mask
         else:
             while True:

@@ -247,3 +247,20 @@ def test_grouped_custom_vjp_grads_match_autodiff_and_individual():
                                        rtol=3e-5, atol=3e-6, err_msg=f"g{g} {k} vs ind")
         np.testing.assert_allclose(np.asarray(gxa[g]), np.asarray(gxb[g]),
                                    rtol=3e-5, atol=3e-6)
+
+
+@pytest.mark.parametrize("peep", [False, True])
+def test_custom_vjp_grad_dtypes_match_params(peep):
+    """Cotangents must carry the parameter dtype: a bf16 param tree getting
+    f32 grads for b/cell_init/hid_init would be silently promoted to f32 by
+    the first optimizer update (retrace + dtype-structure mismatch in any
+    carried training loop)."""
+    params = lstm_ops.init_lstm_params(jax.random.PRNGKey(0), 6, 8,
+                                       use_peepholes=peep, dtype=jnp.bfloat16)
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.randn(3, 5, 6).astype(np.float32))
+    mask = jnp.ones((3, 5), jnp.float32)
+
+    g = jax.grad(lambda p: jnp.sum(lstm_ops.lstm_forward(p, x, mask)))(params)
+    for k in params:
+        assert g[k].dtype == params[k].dtype, (k, g[k].dtype, params[k].dtype)

@@ -114,3 +114,14 @@ def test_env_kill_switch(tmp_path, monkeypatch):
     p = os.path.join(tmp_path, "t.mat")
     sio.savemat(p, {"x": np.ones((2, 2))})
     np.testing.assert_array_equal(matio.load_mat_file(p)["x"], np.ones((2, 2)))
+
+
+def test_logical_arrays_fall_back(tmp_path):
+    """MATLAB logical arrays load as bool through scipy; the strict parser
+    must defer rather than return uint8 for them."""
+    p = os.path.join(tmp_path, "l.mat")
+    sio.savemat(p, {"m": np.array([[True, False], [False, True]])})
+    if sio.loadmat(p)["m"].dtype == np.bool_:
+        assert native.load_mat_native(p) is None
+    d = matio.load_mat_file(p)
+    assert d["m"].dtype == sio.loadmat(p)["m"].dtype

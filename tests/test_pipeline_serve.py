@@ -129,3 +129,34 @@ def test_bucketed_server_static_shapes_and_chunking():
     assert scores9.shape == (9, 3)
     np.testing.assert_allclose(scores9, want_scores(x9, lengths9),
                                rtol=1e-5, atol=1e-6)
+
+
+def test_bucketed_server_rejects_overlong_requests():
+    """Time cannot be chunked (the recurrence carries state), so an
+    over-long request must raise rather than silently classify a prefix —
+    unless lossy truncation is explicitly opted into."""
+    import pytest
+
+    from ip_avsr_tpu import serve as serve_lib
+    from ip_avsr_tpu.models import adenet, zoo
+
+    cfg = zoo.lstm_classifier_majority_vote(6, lstm_size=4, output_classes=3)
+    params = adenet.init_adenet_params(jax.random.PRNGKey(0), cfg)
+    server = serve_lib.make_bucketed_server(params, cfg, batch_buckets=(4,),
+                                            time_buckets=(5,))
+    rng = np.random.RandomState(1)
+    x = rng.randn(2, 9, 6).astype(np.float32)  # T=9 > largest bucket 5
+    with pytest.raises(ValueError, match="time bucket"):
+        server([x], np.array([9, 7]))
+
+    lossy = serve_lib.make_bucketed_server(params, cfg, batch_buckets=(4,),
+                                           time_buckets=(5,),
+                                           allow_time_truncation=True)
+    scores = np.asarray(lossy([x], np.array([9, 7])))
+    assert scores.shape == (2, 3)
+    # equals serving the 5-frame prefix explicitly
+    exact = serve_lib.make_bucketed_server(params, cfg, batch_buckets=(4,),
+                                           time_buckets=(5,))
+    np.testing.assert_allclose(
+        scores, np.asarray(exact([x[:, :5]], np.array([5, 5]))),
+        rtol=1e-5, atol=1e-6)
