@@ -100,7 +100,7 @@ def main(argv=None):
         lens = data[0]["videoLengthVec"].reshape(-1)
         y = data[0]["targetsVec"].reshape(-1) - 1
     else:
-        mats = [matio.load_mat_file(s.data) for s in stream_cfgs]
+        mats = matio.load_mat_files([s.data for s in stream_cfgs])
         raws = [m["dataMatrix"].astype(np.float32) for m in mats]
         lens = mats[0]["videoLengthVec"].reshape(-1).astype(np.int64)
         y = mats[0]["targetsVec"].reshape(-1).astype(np.int64)

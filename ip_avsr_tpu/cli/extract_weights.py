@@ -43,7 +43,13 @@ def main(argv=None):
     params = matio.load_model_params(args.model)
     out = {}
     if args.encoder_stream:
-        enc = params["streams"][args.encoder_stream]["encoder"]
+        streams = params["streams"]
+        if args.encoder_stream not in streams:
+            ap.error(f"unknown stream '{args.encoder_stream}'; this model has: "
+                     f"{sorted(streams)} (zoo configs name streams s1..sN)")
+        if "encoder" not in streams[args.encoder_stream]:
+            ap.error(f"stream '{args.encoder_stream}' has no encoder")
+        enc = streams[args.encoder_stream]["encoder"]
         names = sorted(enc.keys(), key=lambda n: ({"fc1": 0, "fc2": 1, "fc3": 2,
                                                    "bottleneck": 3}.get(n, 99), n))
         for i, name in enumerate(names, 1):

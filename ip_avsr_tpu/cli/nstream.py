@@ -109,13 +109,13 @@ def main(argv=None):
     print(f"streams: {[s.name for s in stream_cfgs]}")
 
     # ---- load data -------------------------------------------------------
-    datasets = []
-    for i, sc in enumerate(stream_cfgs):
-        if options.synthetic:
-            datasets.append(synthesize_dataset(options.synthetic, sc.input_dimensions,
-                                               clf.output_classes, seed=i))
-        else:
-            datasets.append(matio.load_mat_file(sc.data))
+    if options.synthetic:
+        datasets = [synthesize_dataset(options.synthetic, sc.input_dimensions,
+                                       clf.output_classes, seed=i)
+                    for i, sc in enumerate(stream_cfgs)]
+    else:
+        # all stream files in one parallel pass (native loader thread pool)
+        datasets = matio.load_mat_files([sc.data for sc in stream_cfgs])
 
     s1 = datasets[0]
     targets_vec = s1["targetsVec"].reshape(-1).astype(np.int64)
