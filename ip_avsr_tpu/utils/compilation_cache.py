@@ -19,7 +19,16 @@ def enable(cache_dir: str = DEFAULT_DIR) -> None:
     os.makedirs(cache_dir, exist_ok=True)
     try:
         jax.config.update("jax_compilation_cache_dir", cache_dir)
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        # Threshold 0 so every client-side artifact is cached (the axon TPU
+        # backend's compile() returns in <1s, under any positive threshold).
+        # KNOWN LIMIT of this environment: the backend defers the real TPU
+        # compilation to FIRST EXECUTION inside a remote helper, outside the
+        # persistent cache's reach — measured: compile() 0.05s, first
+        # execution ~100s, second 0.04s, across processes every time.  The
+        # cache still covers CPU runs and the local compile steps; the
+        # per-process first-execution cost of big TPU programs is an
+        # environment property, not something this flag can remove.
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
         jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
     except Exception:
         # older/newer jax may rename flags; the cache is an optimization only
