@@ -17,12 +17,18 @@ import jax
 import jax.numpy as jnp
 
 
-def temporal_softmax_loss(x: jnp.ndarray, y: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
+def temporal_softmax_loss(x: jnp.ndarray, y: jnp.ndarray, mask: jnp.ndarray,
+                          return_parts: bool = False):
     """Masked per-timestep cross entropy, averaged over valid frames.
 
     x: (N, T, V) scores (in practice: already-softmaxed probabilities —
        reference quirk, see module docstring); y: (N, T) int labels;
        mask: (N, T) 1 for valid frames.
+
+    ``return_parts=True`` returns ``(weighted_nll_sum, frame_count)``
+    instead of their quotient — the data-parallel shard_map trainer psums
+    both parts so every shard computes the exact global loss (a shard of
+    all-pad rows contributes 0/0-free zeros, not a NaN quotient).
     """
     N, T, V = x.shape
     x_flat = x.reshape(N * T, V)
@@ -31,7 +37,10 @@ def temporal_softmax_loss(x: jnp.ndarray, y: jnp.ndarray, mask: jnp.ndarray) -> 
     total_frames = jnp.sum(mask_flat)
     log_probs = jax.nn.log_softmax(x_flat, axis=1)
     nll = -jnp.take_along_axis(log_probs, y_flat[:, None].astype(jnp.int32), axis=1)[:, 0]
-    return jnp.sum(mask_flat * nll) / total_frames
+    num = jnp.sum(mask_flat * nll)
+    if return_parts:
+        return num, total_frames
+    return num / total_frames
 
 
 def categorical_crossentropy(probs: jnp.ndarray, y: jnp.ndarray, eps: float = 0.0) -> jnp.ndarray:
@@ -44,13 +53,18 @@ def categorical_crossentropy(probs: jnp.ndarray, y: jnp.ndarray, eps: float = 0.
 
 
 def categorical_crossentropy_masked(probs: jnp.ndarray, y: jnp.ndarray,
-                                    sample_weight: jnp.ndarray) -> jnp.ndarray:
+                                    sample_weight: jnp.ndarray,
+                                    return_parts: bool = False):
     """Weighted mean -log(probs[y]); ``sample_weight`` zeroes out batch-pad
     rows so a statically padded partial batch matches the reference's
-    variable-size batch loss exactly."""
+    variable-size batch loss exactly.  ``return_parts`` as in
+    :func:`temporal_softmax_loss`."""
     p = jnp.take_along_axis(probs, y[:, None].astype(jnp.int32), axis=1)[:, 0]
     w = sample_weight.astype(probs.dtype)
-    return -jnp.sum(w * jnp.log(p)) / jnp.maximum(jnp.sum(w), 1.0)
+    num = -jnp.sum(w * jnp.log(p))
+    if return_parts:
+        return num, jnp.sum(w)
+    return num / jnp.maximum(jnp.sum(w), 1.0)
 
 
 def squared_error(pred: jnp.ndarray, target: jnp.ndarray) -> jnp.ndarray:

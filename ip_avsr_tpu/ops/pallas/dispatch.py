@@ -1,0 +1,33 @@
+"""Dispatch context for auto-selected Pallas kernels.
+
+The heuristics in delta_kernel/lstm_kernel refuse to auto-dispatch when more
+than one device is visible: an opaque ``pallas_call`` embedded in a
+GSPMD-sharded program cannot be partitioned.  Inside a ``shard_map`` body,
+however, shapes are already per-device and the kernels are exactly as safe
+as on a single chip — the shard_map trainer (train/trainer.py mesh_mode
+"shard_map") wraps its compute in :func:`local_shapes` to tell the
+heuristics so.  The flag is read at TRACE time (dispatch happens in Python
+while the body is being traced), which is why a context manager around the
+traced body is sufficient.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import contextvars
+
+_local_shapes = contextvars.ContextVar("pallas_local_shapes", default=False)
+
+
+@contextlib.contextmanager
+def local_shapes():
+    """Mark the enclosed trace as operating on per-device (local) shapes."""
+    token = _local_shapes.set(True)
+    try:
+        yield
+    finally:
+        _local_shapes.reset(token)
+
+
+def shapes_are_local() -> bool:
+    return _local_shapes.get()

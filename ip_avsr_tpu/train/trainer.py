@@ -69,6 +69,13 @@ class TrainOptions:
     seed: int = 42
     log_fn: Callable[[str], None] = print
     use_mesh: bool = False  # shard batches over all local devices
+    # how the mesh executes: "gspmd" (jit + sharding annotations; XLA
+    # partitions the program) or "shard_map" (explicitly per-device bodies
+    # with psum'd loss parts and gradients — numerically identical, and the
+    # auto-dispatched Pallas kernels stay usable because every shape inside
+    # the body is already local; see ops/pallas/dispatch.py).  BN streams
+    # require "gspmd" (shard_map would compute per-shard batch statistics).
+    mesh_mode: str = "gspmd"
     # length-bucketed training batches: None (off — pad every batch to the
     # split's global max T, reference semantics utils/datagen.py:104),
     # "auto" (50/75/100th-percentile boundaries), or an explicit list of
@@ -118,6 +125,12 @@ class Trainer:
             self.optimizer = opt_lib.select_optimizer(options.optimizer,
                                                       options.learning_rate)
         self.mesh = mesh_lib.make_mesh() if options.use_mesh else None
+        if options.mesh_mode not in ("gspmd", "shard_map"):
+            raise ValueError(f"unknown mesh_mode: {options.mesh_mode}")
+        if (self.mesh is not None and options.mesh_mode == "shard_map"
+                and any(s.use_batchnorm for s in config.streams)):
+            raise ValueError("mesh_mode='shard_map' does not support batch-norm "
+                             "streams (per-shard batch statistics); use 'gspmd'")
         if self.optimizer is not None:
             self._build_steps()
 
@@ -135,7 +148,7 @@ class Trainer:
     def _has_bn(self):
         return any(s.use_batchnorm for s in self.config.streams)
 
-    def _loss(self, params, streams, y, mask, train, rng):
+    def _loss(self, params, streams, y, mask, train, rng, parts=False):
         out = adenet.adenet_forward(
             params, self.config, streams, mask,
             window=self.options.window, train=train, dropout_rng=rng,
@@ -146,10 +159,12 @@ class Trainer:
             out, aux = out
         if self.config.output_mode == "per_step":
             y2d = jnp.repeat(y[:, None], mask.shape[1], axis=1)
-            loss = losses.temporal_softmax_loss(out, y2d, mask)
+            loss = losses.temporal_softmax_loss(out, y2d, mask,
+                                                return_parts=parts)
         else:
             seq_weight = (jnp.sum(mask, axis=1) > 0)
-            loss = losses.categorical_crossentropy_masked(out, y, seq_weight)
+            loss = losses.categorical_crossentropy_masked(out, y, seq_weight,
+                                                          return_parts=parts)
         if train and self._has_bn:
             return loss, aux
         return loss
@@ -179,12 +194,85 @@ class Trainer:
             return adenet.adenet_forward(params, self.config, streams, mask,
                                          window=self.options.window, train=False)
 
-        self.train_step = jax.jit(train_step, donate_argnums=(0, 1))
-        self.eval_cost = jax.jit(eval_cost)
-        self.predict = jax.jit(predict)
+        if self.mesh is not None and self.options.mesh_mode == "shard_map":
+            self._build_shard_map_steps()
+        else:
+            self.train_step = jax.jit(train_step, donate_argnums=(0, 1))
+            self.eval_cost = jax.jit(eval_cost)
+            self.predict = jax.jit(predict)
         # unjitted bodies, for fusing an on-device gather in front (device_data)
         self._train_step_raw = train_step
         self._eval_cost_raw = eval_cost
+
+    def _build_shard_map_steps(self):
+        """Explicit data parallelism: every step body runs per-device under
+        shard_map with the batch sharded on 'data', params replicated, the
+        loss computed as psum'd (numerator, frame-count) parts — exactly the
+        global quotient — and gradients psum'd before the (replicated)
+        optimizer update.  Numerically identical to the GSPMD path for
+        dropout-free models; dropout draws per-shard masks (rng folded with
+        the shard index), which is valid but not bitwise the GSPMD masks.
+        Inside the body every shape is local, so the auto-dispatched Pallas
+        kernels remain usable on multi-chip TPU (ops/pallas/dispatch.py)."""
+        from jax import shard_map
+        from jax.sharding import PartitionSpec as P
+
+        from ip_avsr_tpu.ops.pallas import dispatch
+
+        optimizer = self.optimizer
+        mesh = self.mesh
+        axis = mesh.axis_names[0]
+
+        def loss_body(params, streams, y, mask, train, rng):
+            rng = jax.random.fold_in(rng, jax.lax.axis_index(axis))
+            with dispatch.local_shapes():
+                num, den = self._loss(params, streams, y, mask, train, rng,
+                                      parts=True)
+            num = jax.lax.psum(num, axis)
+            den = jax.lax.psum(den, axis)
+            return num / jnp.maximum(den, 1.0)
+
+        def predict_body(params, streams, mask):
+            with dispatch.local_shapes():
+                return adenet.adenet_forward(params, self.config, streams, mask,
+                                             window=self.options.window,
+                                             train=False)
+
+        batch = P(axis)
+        rep = P()
+        n_streams = len(self.config.streams)
+        # differentiation happens OVER the shard_map (not inside it):
+        # shard_map's own transpose rules then route the replicated params'
+        # cotangents through the cross-shard psum correctly — taking
+        # jax.grad inside the body instead leaves per-shard partial
+        # gradients (and the psum-transpose scales them by the device
+        # count), both verified wrong by tests
+        train_loss = shard_map(
+            lambda p, s, y, m, r: loss_body(p, s, y, m, True, r),
+            mesh=mesh, in_specs=(rep, [batch] * n_streams, batch, batch, rep),
+            out_specs=rep, check_vma=False)
+        eval_loss = shard_map(
+            lambda p, s, y, m: loss_body(p, s, y, m, False,
+                                         jax.random.PRNGKey(0)),
+            mesh=mesh, in_specs=(rep, [batch] * n_streams, batch, batch),
+            out_specs=rep, check_vma=False)
+
+        def train_step(params, opt_state, streams, y, mask, rng, lr):
+            loss, grads = jax.value_and_grad(train_loss)(
+                params, streams, y, mask, rng)
+            # the optimizer update is elementwise on replicated trees; it
+            # runs outside the shard_map under the same jit
+            params, opt_state = optimizer.apply(params, grads, opt_state,
+                                                learning_rate=lr)
+            return params, opt_state, loss
+
+        self.train_step = jax.jit(train_step, donate_argnums=(0, 1))
+        self.eval_cost = jax.jit(eval_loss)
+        self.predict = jax.jit(shard_map(
+            predict_body, mesh=mesh,
+            in_specs=(rep, [batch] * n_streams, batch),
+            out_specs=batch, check_vma=False,
+        ))
 
     # -- data plumbing ------------------------------------------------------
 
