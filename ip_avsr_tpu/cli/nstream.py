@@ -49,6 +49,10 @@ def parse_options(argv=None):
                              "'itervec': AVLetters-style iterations 1,2=train, "
                              "3=test (utils/preprocessing.py:54-74)")
     parser.add_argument("--mesh", action="store_true", help="data-parallel over devices")
+    parser.add_argument("--mesh_mode", default="gspmd", choices=["gspmd", "shard_map"],
+                        help="with --mesh: XLA-partitioned program (gspmd) or "
+                             "explicit per-device bodies (shard_map; keeps the "
+                             "Pallas kernels active on multi-chip TPU)")
     parser.add_argument("--device_data", action="store_true",
                         help="stage the training set in device HBM; per-step "
                              "transfer is just the batch index array")
@@ -266,6 +270,7 @@ def _train_and_report(options, clf, tc, stream_cfgs,
         decay_rate=tc.decay_rate,
         decay_start=tc.decay_start,
         use_mesh=options.mesh,
+        mesh_mode=options.mesh_mode,
         checkpoint_dir=options.checkpoint_dir,
         resume=options.resume,
         bucket_boundaries=tc.bucket_boundaries,
