@@ -135,3 +135,17 @@ def test_shard_map_rejects_batchnorm():
     assert any(s.use_batchnorm for s in cfg.streams)
     with pytest.raises(ValueError, match="batch-norm"):
         Trainer(cfg, _options(use_mesh=True, mesh_mode="shard_map"))
+
+
+def test_shard_map_with_bucketed_batches():
+    """mesh_mode='shard_map' composes with length-bucketed training: each
+    bucket shape compiles its own shard_map step and the run still learns."""
+    X, y, lens = _flat_corpus(48)
+    cfg = zoo.lstm_classifier_majority_vote(8, lstm_size=12, output_classes=3)
+    tr = Trainer(cfg, _options(num_epoch=5, epochsize=6, batchsize=16,
+                               learning_rate=0.01, optimizer="adam",
+                               use_mesh=True, mesh_mode="shard_map",
+                               bucket_boundaries="auto",
+                               prefetch_batches=False))
+    result = tr.fit(([X], y, lens), ([X], y, lens), ([X], y, lens))
+    assert result.class_rate[-1] > 0.6
