@@ -229,7 +229,11 @@ def _pallas_train_ok(B, T, H) -> bool:
         return False
 
 
-def _lstm_core_fwd_impl(static, w_in, w_hid, b, cell_init, hid_init, x, mask):
+def _lstm_prep(static, w_in, w_hid, b, cell_init, hid_init, x, mask):
+    """Shared prologue of the custom-VJP forwards: time flip, the hoisted
+    (B*T, D) x (D, 4H) input projection, broadcast initial states, matmul
+    dtype casts.  Returns (x, mask, x_proj, cell0, hid0, w_hid_mm, H, f32)
+    with x/mask already flipped when ``backwards``."""
     backwards, _grad_clipping, md = static
     mmdtype = jnp.dtype(md) if md else None
     B, T, D = x.shape
@@ -246,11 +250,45 @@ def _lstm_core_fwd_impl(static, w_in, w_hid, b, cell_init, hid_init, x, mask):
         .astype(f32)
         + b.astype(f32)
     )
-    x_proj_t = jnp.transpose(x_proj, (1, 0, 2))  # (T, B, 4H)
-    mask_t = jnp.transpose(mask, (1, 0))[..., None]
     cell0 = jnp.broadcast_to(cell_init, (B, H)).astype(f32)
     hid0 = jnp.broadcast_to(hid_init, (B, H)).astype(f32)
     w_hid_mm = w_hid.astype(mmdtype) if mmdtype else w_hid
+    return x, mask, x_proj, cell0, hid0, w_hid_mm, H, f32
+
+
+def _recurrence_scan(x_proj_t, mask_t, cell0, hid0, w_hid_mm, H, f32,
+                     collect_residuals):
+    """The XLA fallback recurrence (non-peephole, Lasagne mask-carry).
+    Emits (hids, cells, gates) stacks when ``collect_residuals`` (the
+    custom-VJP forward) or hids alone (the primal)."""
+
+    def step(carry, inputs):
+        cell_prev, hid_prev = carry
+        xp, m = inputs
+        gates = xp + jnp.dot(hid_prev.astype(w_hid_mm.dtype), w_hid_mm,
+                             preferred_element_type=jnp.float32).astype(f32)
+        i = jax.nn.sigmoid(gates[:, :H])
+        f = jax.nn.sigmoid(gates[:, H : 2 * H])
+        c_in = jnp.tanh(gates[:, 2 * H : 3 * H])
+        o = jax.nn.sigmoid(gates[:, 3 * H :])
+        cell_cand = f * cell_prev + i * c_in
+        hid_cand = o * jnp.tanh(cell_cand)
+        cell = m * cell_cand + (1.0 - m) * cell_prev
+        hid = m * hid_cand + (1.0 - m) * hid_prev
+        out = (hid, cell, gates) if collect_residuals else hid
+        return (cell, hid), out
+
+    (_, _), ys = jax.lax.scan(step, (cell0, hid0), (x_proj_t, mask_t))
+    return ys
+
+
+def _lstm_core_fwd_impl(static, w_in, w_hid, b, cell_init, hid_init, x, mask):
+    backwards = static[0]
+    x, mask, x_proj, cell0, hid0, w_hid_mm, H, f32 = _lstm_prep(
+        static, w_in, w_hid, b, cell_init, hid_init, x, mask)
+    B, T = x.shape[0], x.shape[1]
+    x_proj_t = jnp.transpose(x_proj, (1, 0, 2))  # (T, B, 4H)
+    mask_t = jnp.transpose(mask, (1, 0))[..., None]
 
     if _pallas_train_ok(B, T, H):
         from ip_avsr_tpu.ops.pallas import lstm_kernel
@@ -258,23 +296,9 @@ def _lstm_core_fwd_impl(static, w_in, w_hid, b, cell_init, hid_init, x, mask):
         hids, cells, gates_pre = lstm_kernel.lstm_pallas_train(
             x_proj_t, w_hid_mm, mask_t, cell0, hid0)
     else:
-        def step(carry, inputs):
-            cell_prev, hid_prev = carry
-            xp, m = inputs
-            gates = xp + jnp.dot(hid_prev.astype(w_hid_mm.dtype), w_hid_mm,
-                                 preferred_element_type=jnp.float32).astype(f32)
-            i = jax.nn.sigmoid(gates[:, :H])
-            f = jax.nn.sigmoid(gates[:, H : 2 * H])
-            c_in = jnp.tanh(gates[:, 2 * H : 3 * H])
-            o = jax.nn.sigmoid(gates[:, 3 * H :])
-            cell_cand = f * cell_prev + i * c_in
-            hid_cand = o * jnp.tanh(cell_cand)
-            cell = m * cell_cand + (1.0 - m) * cell_prev
-            hid = m * hid_cand + (1.0 - m) * hid_prev
-            return (cell, hid), (hid, cell, gates)
-
-        (_, _), (hids, cells, gates_pre) = jax.lax.scan(
-            step, (cell0, hid0), (x_proj_t, mask_t))
+        hids, cells, gates_pre = _recurrence_scan(
+            x_proj_t, mask_t, cell0, hid0, w_hid_mm, H, f32,
+            collect_residuals=True)
     out = jnp.transpose(hids, (1, 0, 2))
     if backwards:
         out = jnp.flip(out, axis=1)
@@ -300,25 +324,10 @@ def _lstm_core_primal_impl(static, w_in, w_hid, b, cell_init, hid_init, x, mask)
     This impl dispatches the inference kernel (bit-exact vs the scan)
     instead, and a hids-only scan elsewhere.
     """
-    backwards, _grad_clipping, md = static
-    mmdtype = jnp.dtype(md) if md else None
-    B, T, D = x.shape
-    H = w_hid.shape[0]
-    f32 = x.dtype
-    if backwards:
-        x = jnp.flip(x, axis=1)
-        mask = jnp.flip(mask, axis=1)
-    x_mm = x.astype(mmdtype) if mmdtype else x
-    w_in_mm = w_in.astype(mmdtype) if mmdtype else w_in
-    x_proj = (
-        jnp.dot(x_mm.reshape(B * T, D), w_in_mm, preferred_element_type=jnp.float32)
-        .reshape(B, T, 4 * H)
-        .astype(f32)
-        + b.astype(f32)
-    )
-    cell0 = jnp.broadcast_to(cell_init, (B, H)).astype(f32)
-    hid0 = jnp.broadcast_to(hid_init, (B, H)).astype(f32)
-    w_hid_mm = w_hid.astype(mmdtype) if mmdtype else w_hid
+    backwards = static[0]
+    x, mask, x_proj, cell0, hid0, w_hid_mm, H, f32 = _lstm_prep(
+        static, w_in, w_hid, b, cell_init, hid_init, x, mask)
+    B, T = x.shape[0], x.shape[1]
 
     if _pallas_train_ok(B, T, H):
         from ip_avsr_tpu.ops.pallas import lstm_kernel
@@ -328,23 +337,8 @@ def _lstm_core_primal_impl(static, w_in, w_hid, b, cell_init, hid_init, x, mask)
     else:
         x_proj_t = jnp.transpose(x_proj, (1, 0, 2))
         mask_t = jnp.transpose(mask, (1, 0))[..., None]
-
-        def step(carry, inputs):
-            cell_prev, hid_prev = carry
-            xp, m = inputs
-            gates = xp + jnp.dot(hid_prev.astype(w_hid_mm.dtype), w_hid_mm,
-                                 preferred_element_type=jnp.float32).astype(f32)
-            i = jax.nn.sigmoid(gates[:, :H])
-            f = jax.nn.sigmoid(gates[:, H : 2 * H])
-            c_in = jnp.tanh(gates[:, 2 * H : 3 * H])
-            o = jax.nn.sigmoid(gates[:, 3 * H :])
-            cell_cand = f * cell_prev + i * c_in
-            hid_cand = o * jnp.tanh(cell_cand)
-            cell = m * cell_cand + (1.0 - m) * cell_prev
-            hid = m * hid_cand + (1.0 - m) * hid_prev
-            return (cell, hid), hid
-
-        (_, _), hids = jax.lax.scan(step, (cell0, hid0), (x_proj_t, mask_t))
+        hids = _recurrence_scan(x_proj_t, mask_t, cell0, hid0, w_hid_mm, H,
+                                f32, collect_residuals=False)
         out = jnp.transpose(hids, (1, 0, 2))
     if backwards:
         out = jnp.flip(out, axis=1)

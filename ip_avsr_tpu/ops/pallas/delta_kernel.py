@@ -120,14 +120,9 @@ def should_use_pallas(x, window: int) -> bool:
     """
     if pltpu is None:
         return False
-    try:
-        if jax.default_backend() != "tpu":
-            return False
-        from ip_avsr_tpu.ops.pallas import dispatch
+    from ip_avsr_tpu.ops.pallas import dispatch
 
-        if jax.device_count() > 1 and not dispatch.shapes_are_local():
-            return False
-    except Exception:  # pragma: no cover
+    if not dispatch.auto_dispatch_ok():
         return False
     if x.ndim != 3:
         return False

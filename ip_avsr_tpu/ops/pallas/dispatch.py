@@ -31,3 +31,17 @@ def local_shapes():
 
 def shapes_are_local() -> bool:
     return _local_shapes.get()
+
+
+def auto_dispatch_ok() -> bool:
+    """Common gate for the kernel heuristics: a TPU backend whose traced
+    shapes are per-device — either a single visible device, or a shard_map
+    body that declared :func:`local_shapes`."""
+    import jax
+
+    try:
+        if jax.default_backend() != "tpu":
+            return False
+        return jax.device_count() == 1 or shapes_are_local()
+    except Exception:  # pragma: no cover
+        return False

@@ -319,14 +319,9 @@ def should_use_pallas_train(B: int, T: int, H: int, dtype_bytes: int = 4) -> boo
     meshes use the XLA scans, which shard cleanly."""
     if pltpu is None:
         return False
-    try:
-        if jax.default_backend() != "tpu":
-            return False
-        from ip_avsr_tpu.ops.pallas import dispatch
+    from ip_avsr_tpu.ops.pallas import dispatch
 
-        if jax.device_count() > 1 and not dispatch.shapes_are_local():
-            return False
-    except Exception:  # pragma: no cover
+    if not dispatch.auto_dispatch_ok():
         return False
     # block last dims need not be (8,128)-divisible when they equal the full
     # array dims (the inference kernel already runs H=500 this way), so no
