@@ -53,6 +53,14 @@ def parse_options(argv=None):
                         help="with --mesh: XLA-partitioned program (gspmd) or "
                              "explicit per-device bodies (shard_map; keeps the "
                              "Pallas kernels active on multi-chip TPU)")
+    parser.add_argument("--model_parallel", type=int, default=1,
+                        help="tensor parallelism: size of the 'model' mesh "
+                             "axis (encoder weights column-sharded; builds a "
+                             "dp x tp mesh over the visible devices)")
+    parser.add_argument("--sequence_parallel", type=int, default=1,
+                        help="sequence parallelism: size of the 'seq' mesh "
+                             "axis (time-sharded prefix with halo-exchanged "
+                             "deltas; for long feature streams)")
     parser.add_argument("--device_data", action="store_true",
                         help="stage the training set in device HBM; per-step "
                              "transfer is just the batch index array")
@@ -271,6 +279,8 @@ def _train_and_report(options, clf, tc, stream_cfgs,
         decay_start=tc.decay_start,
         use_mesh=options.mesh,
         mesh_mode=options.mesh_mode,
+        model_parallel=options.model_parallel,
+        sequence_parallel=options.sequence_parallel,
         checkpoint_dir=options.checkpoint_dir,
         resume=options.resume,
         bucket_boundaries=tc.bucket_boundaries,

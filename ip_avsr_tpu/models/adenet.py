@@ -209,6 +209,7 @@ def adenet_forward(
     train: bool = False,
     dropout_rng=None,
     return_aux: bool = False,
+    bn_axis=None,
 ):
     """Run the model.  inputs[i] is (B, T, D_i); mask is (B, T).
 
@@ -219,14 +220,17 @@ def adenet_forward(
 
     With ``return_aux=True`` returns (out, aux) where aux carries batch-norm
     running-statistic updates (aux["bn_state"][stream_name]) to be merged into
-    the params by the trainer.
+    the params by the trainer.  ``bn_axis`` names the mesh axis (or axes) to
+    psum batch-norm training statistics over when this forward runs inside a
+    ``shard_map`` body (ops/normalization.batch_norm_forward).
     """
     window = config.window if window is None else window
     if dropout_rng is None:
         dropout_rng = jax.random.PRNGKey(0)
     rngs = jax.random.split(dropout_rng, len(config.streams) + max(config.agg_layers, 1))
     stream_feats, aux = stream_prefix(params, config, inputs, train,
-                                      rngs[: len(config.streams)], window=window)
+                                      rngs[: len(config.streams)], window=window,
+                                      bn_axis=bn_axis)
     out = head_forward(params, config, stream_feats, mask, train,
                        rngs[len(config.streams):])
     if return_aux:
@@ -235,7 +239,7 @@ def adenet_forward(
 
 
 def stream_prefix(params, config: AdeNetConfig, inputs, train, rngs,
-                  window=None, delta_fn=None):
+                  window=None, delta_fn=None, bn_axis=None):
     """The frame-parallel part of the forward: per stream, encoder -> [BN] ->
     delta -> dropout.  Every op here is local to a frame except the delta
     window — which is why this prefix is the sequence-parallel region
@@ -264,7 +268,8 @@ def stream_prefix(params, config: AdeNetConfig, inputs, train, rngs,
             )
             x = enc.reshape(B, T, -1)
         if spec.use_batchnorm:
-            x, new_bn = norm_ops.batch_norm_forward(sp["bn"], sp["bn_state"], x, train)
+            x, new_bn = norm_ops.batch_norm_forward(sp["bn"], sp["bn_state"], x,
+                                                    train, axis_name=bn_axis)
             aux["bn_state"][spec.name] = new_bn
         if spec.use_delta:
             x = delta_fn(x)

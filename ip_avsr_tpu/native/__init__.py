@@ -101,6 +101,8 @@ def load_mat_native(path) -> Optional[dict]:
     """Parse one .mat file.  Returns a scipy.io.loadmat-compatible dict
     (storage dtypes, Fortran data order, min-2-D arrays), or ``None`` when
     the file needs the scipy fallback."""
+    if os.environ.get("IP_AVSR_NATIVE", "1") == "0":
+        return None  # kill switch also honored on direct calls, not just available()
     lib = _load_lib()
     if lib is None:
         return None
@@ -130,6 +132,11 @@ def load_mat_native(path) -> Optional[dict]:
             # upcast to the class dtype here — parity with loadmat
             out[lib.ipav_name(h, i).decode()] = arr
         return out
+    except Exception:
+        # any native-side surprise (non-UTF8 name, reshape mismatch on a
+        # crafted file, ...) defers to the scipy fallback — the documented
+        # contract is "returns None when the file needs scipy"
+        return None
     finally:
         lib.ipav_close(h)
 
@@ -142,6 +149,8 @@ def load_many(paths, workers: Optional[int] = None, fallback=None) -> list:
         import scipy.io as sio
 
         fallback = sio.loadmat
+    if os.environ.get("IP_AVSR_NATIVE", "1") == "0":
+        return [fallback(p) for p in paths]  # kill switch: pure-fallback path
     if workers is None:
         workers = min(16, os.cpu_count() or 4)
 

@@ -124,6 +124,7 @@ bool parse_matrix(const uint8_t* p, size_t n, Handle* h) {
   for (size_t i = 0; i < nd; i++) {
     int32_t d;
     std::memcpy(&d, data + 4 * i, 4);
+    if (d < 0) { h->error = "negative dimension"; return false; }
     arr.dims.push_back(d);
   }
   c.off += adv;
@@ -142,8 +143,19 @@ bool parse_matrix(const uint8_t* p, size_t n, Handle* h) {
     h->error = "unsupported data storage type " + std::to_string(type);
     return false;
   }
+  // element count, guarded against signed-overflow UB on adversarial dims:
+  // every dim is non-negative (checked above) and the running product may
+  // never exceed what the data payload could possibly hold
+  const int64_t max_count =
+      static_cast<int64_t>(bytes / mitype_size(type)) + 1;
   int64_t count = 1;
-  for (int64_t d : arr.dims) count *= d;
+  for (int64_t d : arr.dims) {
+    if (d != 0 && count > max_count / d) {
+      h->error = "dimension product overflows data size";
+      return false;
+    }
+    count *= d;
+  }
   if (static_cast<int64_t>(bytes / mitype_size(type)) != count) {
     h->error = "data size does not match dims";
     return false;

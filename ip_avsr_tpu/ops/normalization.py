@@ -12,6 +12,7 @@
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 
@@ -32,13 +33,37 @@ def init_batch_norm(dim: int, dtype=jnp.float32) -> tuple[dict, dict]:
     return params, state
 
 
-def batch_norm_forward(params, state, x, train: bool, eps: float = 1e-4, alpha: float = 0.01):
-    """Apply BN over the last axis; returns (y, new_state)."""
+def batch_norm_forward(params, state, x, train: bool, eps: float = 1e-4,
+                       alpha: float = 0.01, axis_name=None):
+    """Apply BN over the last axis; returns (y, new_state).
+
+    ``axis_name`` (a mesh axis name or tuple of names) makes the training
+    statistics CROSS-SHARD: inside a ``shard_map`` body (or a
+    sequence-parallel prefix) each shard sees only its local rows, so the
+    local (sum, sumsq, count) moments are psum'd over the named axes before
+    deriving mean/var — every shard then normalizes with exactly the global
+    minibatch statistics, bit-identical to the unsharded program whenever the
+    shards are equal-sized (the trainer pads batches to a mesh multiple, so
+    they always are).  Eval mode uses the running averages and needs no
+    collective.
+    """
     feat = x.shape[-1]
     flat = x.reshape(-1, feat)
     if train:
-        mean = flat.mean(axis=0)
-        var = flat.var(axis=0)
+        if axis_name is not None:
+            # sum/sumsq/count formulation: one fused psum of two (D,) vectors
+            # and a scalar instead of a mean-of-means (which would be wrong
+            # for unequal shards and needs two round trips for var)
+            local_sum = flat.sum(axis=0)
+            local_sumsq = (flat * flat).sum(axis=0)
+            count = jax.lax.psum(jnp.float32(flat.shape[0]), axis_name)
+            total = jax.lax.psum(local_sum, axis_name)
+            totalsq = jax.lax.psum(local_sumsq, axis_name)
+            mean = total / count
+            var = totalsq / count - mean * mean
+        else:
+            mean = flat.mean(axis=0)
+            var = flat.var(axis=0)
         new_state = {
             "mean": (1 - alpha) * state["mean"] + alpha * mean,
             "var": (1 - alpha) * state["var"] + alpha * var,

@@ -32,6 +32,92 @@ def make_mesh(n_devices: Optional[int] = None, axis_name: str = "data") -> Mesh:
     return Mesh(np.array(devices), (axis_name,))
 
 
+def make_mesh_nd(shape: dict, devices=None) -> Mesh:
+    """Mesh from an ordered ``{axis_name: size}`` dict, e.g.
+    ``{"data": 4, "model": 2}`` — the dp x tp layout.  Uses the first
+    ``prod(sizes)`` devices."""
+    sizes = [int(s) for s in shape.values()]
+    n = 1
+    for s in sizes:
+        n *= s
+    devices = list(jax.devices() if devices is None else devices)
+    if len(devices) < n:
+        raise ValueError(f"mesh {shape} needs {n} devices, have {len(devices)}")
+    return Mesh(np.array(devices[:n]).reshape(sizes), tuple(shape.keys()))
+
+
+def adenet_param_rules(model_axis: str = "model"):
+    """Default tensor-parallel sharding rules for AdeNet parameter trees.
+
+    The FLOPs (and the parameter bytes) of these models live in the dense
+    encoder stacks (2000/1000/500/50 per stream, SURVEY.md §2.2); the LSTM
+    and head weights are comparatively tiny and stay replicated — sharding
+    them would put a collective inside every scan step for negligible memory
+    relief (docs/SCALING.md).  Rule: every encoder weight matrix is sharded
+    on its OUTPUT (hidden-units) axis, ``P(None, model)``; its bias vector is
+    sharded to match; everything else replicated.  Column-sharded weights
+    need no collective in the forward (each shard computes its own slice of
+    the activations) — XLA inserts the all-gather only where the next
+    operand requires it.
+    """
+
+    def rule(path, leaf) -> P:
+        names = [str(getattr(k, "key", "")) for k in path]
+        if "encoder" in names:
+            if names[-1] == "w" and leaf.ndim == 2:
+                return P(None, model_axis)
+            if names[-1] == "b" and leaf.ndim == 1:
+                return P(model_axis)
+        return P()
+
+    return rule
+
+
+def param_shardings(params, mesh: Mesh, rules=None,
+                    model_axis: str = "model"):
+    """NamedSharding pytree for a parameter tree under tensor parallelism.
+
+    ``rules(path, leaf) -> PartitionSpec`` (default:
+    :func:`adenet_param_rules`).  A rule whose sharded dimension does not
+    divide the mesh axis size is demoted to replicated — uneven shards work
+    under GSPMD but pessimize every consumer, and at these model sizes
+    replication is strictly better than padding.
+    """
+    rules = rules or adenet_param_rules(model_axis)
+    axis_size = mesh.shape.get(model_axis, 1)
+
+    def one(path, leaf):
+        spec = rules(path, leaf)
+        for dim, axis in enumerate(spec):
+            if axis is None:
+                continue
+            if dim >= leaf.ndim or leaf.shape[dim] % axis_size != 0:
+                spec = P()
+                break
+        return NamedSharding(mesh, spec)
+
+    return jax.tree_util.tree_map_with_path(one, params)
+
+
+def opt_state_shardings(opt_state, params, param_sh, mesh: Mesh):
+    """Shardings for an optimizer-state tree: any top-level entry that is
+    tree-congruent with ``params`` (adam's m/v, adadelta's accu/delta_accu,
+    momentum's velocity) mirrors the parameter shardings; everything else
+    (step counters) is replicated.  Works for every optimizer in
+    train/optimizers.py without optimizer-specific knowledge."""
+    p_struct = jax.tree_util.tree_structure(params)
+    rep = replicated_sharding(mesh)
+
+    def one(entry):
+        if jax.tree_util.tree_structure(entry) == p_struct:
+            return param_sh
+        return jax.tree_util.tree_map(lambda _: rep, entry)
+
+    if isinstance(opt_state, dict):
+        return {k: one(v) for k, v in opt_state.items()}
+    return jax.tree_util.tree_map(lambda _: rep, opt_state)
+
+
 def batch_sharding(mesh: Mesh, axis_name: str = "data") -> NamedSharding:
     """Shard the leading (batch) axis; all other axes replicated."""
     return NamedSharding(mesh, P(axis_name))

@@ -108,6 +108,8 @@ def adenet_forward_sp(
     seq_axis: str = "seq",
     train: bool = False,
     dropout_rng=None,
+    window=None,
+    return_aux: bool = False,
 ):
     """adenet_forward with a sequence-parallel prefix.
 
@@ -118,21 +120,25 @@ def adenet_forward_sp(
     ``adenet_forward`` for train=False; under training the dropout masks are
     drawn per shard (rng folded with the mesh coordinates), so they are valid
     Lasagne-semantics masks but not bitwise those of the unsharded program.
+    Batch-norm streams train with SYNCED statistics psum'd over BOTH mesh
+    axes (batch and time are each sharded, and Lasagne BN pools every
+    non-feature axis), reproducing the global-minibatch moments exactly;
+    ``return_aux=True`` surfaces the updated running averages like
+    ``adenet_forward`` does.
 
-    Constraints (checked): no batch-norm streams (BN wants global batch
-    statistics), T divisible by the seq axis, T_local >= window, and B
-    divisible by data*seq.
+    Constraints (checked): T divisible by the seq axis, T_local >= window,
+    and B divisible by data*seq.
     """
     n_seq = mesh.shape[seq_axis]
     n_data = mesh.shape[data_axis]
     B, T = inputs[0].shape[0], inputs[0].shape[1]
-    if any(s.use_batchnorm for s in config.streams):
-        raise ValueError("sequence-parallel prefix does not support "
-                         "batch-norm streams (global batch statistics)")
+    # window override mirrors adenet_forward's (the Trainer passes
+    # options.window); it sets the halo size, so the checks use it too
+    window = config.window if window is None else int(window)
     if T % n_seq != 0:
         raise ValueError(f"T={T} not divisible by seq axis {n_seq}")
-    if (T // n_seq) < config.window:
-        raise ValueError(f"T_local={T // n_seq} < window={config.window}")
+    if (T // n_seq) < window:
+        raise ValueError(f"T_local={T // n_seq} < window={window}")
     if B % (n_data * n_seq) != 0:
         raise ValueError(f"B={B} not divisible by data*seq={n_data * n_seq}")
     if dropout_rng is None:
@@ -146,15 +152,17 @@ def adenet_forward_sp(
         shard_rngs = [jax.random.fold_in(jax.random.fold_in(rngs[i], di), si)
                       for i in range(n)]
         delta_fn = lambda x: append_delta_coeff_sp(  # noqa: E731
-            x, config.window, seq_axis, n_seq)
-        feats, _ = adenet.stream_prefix(params, config, list(xs), train,
-                                        shard_rngs, delta_fn=delta_fn)
-        return tuple(feats)
+            x, window, seq_axis, n_seq)
+        feats, aux = adenet.stream_prefix(params, config, list(xs), train,
+                                          shard_rngs, window=window,
+                                          delta_fn=delta_fn,
+                                          bn_axis=(data_axis, seq_axis))
+        return tuple(feats), aux
 
     in_specs = (P(),) + tuple(P(data_axis, seq_axis, None) for _ in range(n))
-    out_specs = tuple(P(data_axis, seq_axis, None) for _ in range(n))
-    feats = shard_map(prefix_local, mesh=mesh, in_specs=in_specs,
-                      out_specs=out_specs, check_vma=False)(params, *inputs)
+    out_specs = (tuple(P(data_axis, seq_axis, None) for _ in range(n)), P())
+    feats, aux = shard_map(prefix_local, mesh=mesh, in_specs=in_specs,
+                           out_specs=out_specs, check_vma=False)(params, *inputs)
 
     # one all-to-all: time-sharded -> batch-sharded over every device, so the
     # sequential recurrence keeps all data*seq devices busy
@@ -162,4 +170,7 @@ def adenet_forward_sp(
     feats = [jax.lax.with_sharding_constraint(f, head_batch) for f in feats]
     mask_c = jax.lax.with_sharding_constraint(
         mask, NamedSharding(mesh, P((data_axis, seq_axis), None)))
-    return adenet.head_forward(params, config, feats, mask_c, train, rngs[n:])
+    out = adenet.head_forward(params, config, feats, mask_c, train, rngs[n:])
+    if return_aux:
+        return out, aux
+    return out

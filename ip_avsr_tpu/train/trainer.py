@@ -69,6 +69,25 @@ class TrainOptions:
     seed: int = 42
     log_fn: Callable[[str], None] = print
     use_mesh: bool = False  # shard batches over all local devices
+    # tensor parallelism: size of the 'model' mesh axis.  >1 builds a 2-D
+    # dp x tp mesh {"data": n_devices // model_parallel, "model": model_parallel},
+    # shards the encoder weight matrices on their hidden axis
+    # (parallel/mesh.adenet_param_rules; override with model_parallel_rules)
+    # and mirrors the sharding onto the optimizer moments.  Implies use_mesh;
+    # gspmd mode only (the shard_map path is explicit data parallelism).
+    # Composes with checkpoint/resume and bucket_boundaries.
+    model_parallel: int = 1
+    model_parallel_rules: Optional[Callable] = None
+    # sequence parallelism: size of the 'seq' mesh axis.  >1 builds a 2-D
+    # dp x sp mesh and runs the frame-parallel prefix (encoder/delta/dropout)
+    # time-sharded with ppermute halo exchanges, resharding time->batch once
+    # before the recurrent head (parallel/sequence.adenet_forward_sp).  The
+    # datasets' padded T is rounded up to an sp multiple (same semantics as
+    # bucket padding: full-length sequences' delta windows then see zero pad
+    # frames at the old boundary instead of edge replication).  Implies
+    # use_mesh; gspmd only; mutually exclusive with model_parallel,
+    # bucket_boundaries, and multihost.
+    sequence_parallel: int = 1
     # how the mesh executes: "gspmd" (jit + sharding annotations; XLA
     # partitions the program) or "shard_map" (explicitly per-device bodies
     # with psum'd loss parts and gradients — numerically identical, and the
@@ -124,13 +143,41 @@ class Trainer:
         else:
             self.optimizer = opt_lib.select_optimizer(options.optimizer,
                                                       options.learning_rate)
-        self.mesh = mesh_lib.make_mesh() if options.use_mesh else None
+        if options.model_parallel > 1 and options.sequence_parallel > 1:
+            raise ValueError("model_parallel and sequence_parallel are "
+                             "mutually exclusive (pick one secondary axis)")
+        if options.model_parallel > 1:
+            if options.mesh_mode == "shard_map":
+                raise ValueError("model_parallel requires mesh_mode='gspmd' "
+                                 "(shard_map is the explicit data-parallel path)")
+            n_dev = len(jax.devices())
+            if n_dev % options.model_parallel != 0:
+                raise ValueError(f"model_parallel={options.model_parallel} does "
+                                 f"not divide the device count {n_dev}")
+            self.mesh = mesh_lib.make_mesh_nd(
+                {"data": n_dev // options.model_parallel,
+                 "model": options.model_parallel})
+        elif options.sequence_parallel > 1:
+            if options.mesh_mode == "shard_map":
+                raise ValueError("sequence_parallel requires mesh_mode='gspmd'")
+            if options.bucket_boundaries is not None:
+                raise ValueError("sequence_parallel does not compose with "
+                                 "bucket_boundaries (per-bucket T would need "
+                                 "per-bucket sp divisibility); pick one")
+            if options.multihost:
+                raise ValueError("sequence_parallel + multihost is not "
+                                 "supported yet")
+            n_dev = len(jax.devices())
+            if n_dev % options.sequence_parallel != 0:
+                raise ValueError(f"sequence_parallel={options.sequence_parallel}"
+                                 f" does not divide the device count {n_dev}")
+            self.mesh = mesh_lib.make_mesh_nd(
+                {"data": n_dev // options.sequence_parallel,
+                 "seq": options.sequence_parallel})
+        else:
+            self.mesh = mesh_lib.make_mesh() if options.use_mesh else None
         if options.mesh_mode not in ("gspmd", "shard_map"):
             raise ValueError(f"unknown mesh_mode: {options.mesh_mode}")
-        if (self.mesh is not None and options.mesh_mode == "shard_map"
-                and any(s.use_batchnorm for s in config.streams)):
-            raise ValueError("mesh_mode='shard_map' does not support batch-norm "
-                             "streams (per-shard batch statistics); use 'gspmd'")
         if self.optimizer is not None:
             self._build_steps()
 
@@ -148,12 +195,31 @@ class Trainer:
     def _has_bn(self):
         return any(s.use_batchnorm for s in self.config.streams)
 
-    def _loss(self, params, streams, y, mask, train, rng, parts=False):
-        out = adenet.adenet_forward(
+    @property
+    def _sp_active(self) -> bool:
+        return self.options.sequence_parallel > 1
+
+    def _forward(self, params, streams, mask, train, rng, return_aux=False,
+                 bn_axis=None):
+        """Model forward; routes through the sequence-parallel prefix when
+        ``sequence_parallel`` is active (time sharded on the 'seq' axis with
+        halo-exchanged deltas), the plain composer otherwise."""
+        if self._sp_active:
+            from ip_avsr_tpu.parallel import sequence as seq_lib
+
+            return seq_lib.adenet_forward_sp(
+                params, self.config, streams, mask, self.mesh,
+                train=train, dropout_rng=rng, window=self.options.window,
+                return_aux=return_aux)
+        return adenet.adenet_forward(
             params, self.config, streams, mask,
             window=self.options.window, train=train, dropout_rng=rng,
-            return_aux=train and self._has_bn,
-        )
+            return_aux=return_aux, bn_axis=bn_axis)
+
+    def _loss(self, params, streams, y, mask, train, rng, parts=False,
+              bn_axis=None):
+        out = self._forward(params, streams, mask, train, rng,
+                            return_aux=train and self._has_bn, bn_axis=bn_axis)
         aux = {}
         if train and self._has_bn:
             out, aux = out
@@ -191,8 +257,8 @@ class Trainer:
             return self._loss(params, streams, y, mask, False, jax.random.PRNGKey(0))
 
         def predict(params, streams, mask):
-            return adenet.adenet_forward(params, self.config, streams, mask,
-                                         window=self.options.window, train=False)
+            return self._forward(params, streams, mask, False,
+                                 jax.random.PRNGKey(0))
 
         if self.mesh is not None and self.options.mesh_mode == "shard_map":
             self._build_shard_map_steps()
@@ -200,9 +266,12 @@ class Trainer:
             self.train_step = jax.jit(train_step, donate_argnums=(0, 1))
             self.eval_cost = jax.jit(eval_cost)
             self.predict = jax.jit(predict)
-        # unjitted bodies, for fusing an on-device gather in front (device_data)
+        # unjitted bodies, for fusing an on-device gather in front
+        # (device_data) and for re-jitting with explicit tensor-parallel
+        # shardings once the parameter tree exists (_setup_tensor_parallel)
         self._train_step_raw = train_step
         self._eval_cost_raw = eval_cost
+        self._predict_raw = predict
 
     def _build_shard_map_steps(self):
         """Explicit data parallelism: every step body runs per-device under
@@ -222,15 +291,25 @@ class Trainer:
         optimizer = self.optimizer
         mesh = self.mesh
         axis = mesh.axis_names[0]
+        has_bn = self._has_bn
 
         def loss_body(params, streams, y, mask, train, rng):
             rng = jax.random.fold_in(rng, jax.lax.axis_index(axis))
             with dispatch.local_shapes():
-                num, den = self._loss(params, streams, y, mask, train, rng,
-                                      parts=True)
+                # bn_axis: batch-norm streams train with SYNCED statistics —
+                # the body psums (sum, sumsq, count) over the data axis
+                # (ops/normalization), so every shard normalizes with the
+                # exact global-minibatch moments
+                res = self._loss(params, streams, y, mask, train, rng,
+                                 parts=True, bn_axis=axis)
+            if train and has_bn:
+                (num, den), aux = res
+            else:
+                num, den = res
+                aux = {"bn_state": {}}
             num = jax.lax.psum(num, axis)
             den = jax.lax.psum(den, axis)
-            return num / jnp.maximum(den, 1.0)
+            return num / jnp.maximum(den, 1.0), aux
 
         def predict_body(params, streams, mask):
             with dispatch.local_shapes():
@@ -247,23 +326,27 @@ class Trainer:
         # jax.grad inside the body instead leaves per-shard partial
         # gradients (and the psum-transpose scales them by the device
         # count), both verified wrong by tests
+        # the aux bn_state rides out replicated (its moments are already
+        # psum'd, so every shard holds identical updated running averages)
         train_loss = shard_map(
             lambda p, s, y, m, r: loss_body(p, s, y, m, True, r),
             mesh=mesh, in_specs=(rep, [batch] * n_streams, batch, batch, rep),
-            out_specs=rep, check_vma=False)
+            out_specs=(rep, rep), check_vma=False)
         eval_loss = shard_map(
             lambda p, s, y, m: loss_body(p, s, y, m, False,
-                                         jax.random.PRNGKey(0)),
+                                         jax.random.PRNGKey(0))[0],
             mesh=mesh, in_specs=(rep, [batch] * n_streams, batch, batch),
             out_specs=rep, check_vma=False)
 
         def train_step(params, opt_state, streams, y, mask, rng, lr):
-            loss, grads = jax.value_and_grad(train_loss)(
+            (loss, aux), grads = jax.value_and_grad(train_loss, has_aux=True)(
                 params, streams, y, mask, rng)
             # the optimizer update is elementwise on replicated trees; it
             # runs outside the shard_map under the same jit
             params, opt_state = optimizer.apply(params, grads, opt_state,
                                                 learning_rate=lr)
+            for name, new_bn in aux["bn_state"].items():
+                params["streams"][name]["bn_state"] = jax.lax.stop_gradient(new_bn)
             return params, opt_state, loss
 
         self.train_step = jax.jit(train_step, donate_argnums=(0, 1))
@@ -273,6 +356,55 @@ class Trainer:
             in_specs=(rep, [batch] * n_streams, batch),
             out_specs=batch, check_vma=False,
         ))
+
+    # -- tensor parallelism -------------------------------------------------
+
+    @property
+    def _tp_active(self) -> bool:
+        return self.options.model_parallel > 1
+
+    def _setup_tensor_parallel(self, params, opt_state):
+        """Re-jit the step functions with explicit dp x tp shardings and
+        place params/optimizer state accordingly.
+
+        Runs once per fit(), after the parameter tree exists (the sharding
+        tree is structure-dependent).  Explicit in/out shardings keep the
+        parameter round trip stable — without them the first step's output
+        shardings could differ from the inputs' and force a second compile.
+        """
+        param_sh = mesh_lib.param_shardings(params, self.mesh,
+                                            self.options.model_parallel_rules)
+        opt_sh = mesh_lib.opt_state_shardings(opt_state, params, param_sh,
+                                              self.mesh)
+        batch_sh = mesh_lib.batch_sharding(self.mesh)
+        rep = mesh_lib.replicated_sharding(self.mesh)
+        n = len(self.config.streams)
+        self.train_step = jax.jit(
+            self._train_step_raw, donate_argnums=(0, 1),
+            in_shardings=(param_sh, opt_sh, [batch_sh] * n, batch_sh, batch_sh,
+                          rep, rep),
+            out_shardings=(param_sh, opt_sh, rep))
+        self.eval_cost = jax.jit(
+            self._eval_cost_raw,
+            in_shardings=(param_sh, [batch_sh] * n, batch_sh, batch_sh),
+            out_shardings=rep)
+        self.predict = jax.jit(
+            self._predict_raw,
+            in_shardings=(param_sh, [batch_sh] * n, batch_sh),
+            out_shardings=batch_sh)
+        self._param_sh, self._opt_sh = param_sh, opt_sh
+        return (jax.device_put(params, param_sh),
+                jax.device_put(opt_state, opt_sh))
+
+    def _place_state(self, params, opt_state):
+        """Device placement for (params, opt_state) under the active mesh."""
+        if self.mesh is None:
+            return params, opt_state
+        if self._tp_active:
+            return (jax.device_put(params, self._param_sh),
+                    jax.device_put(opt_state, self._opt_sh))
+        return (mesh_lib.replicate(self.mesh, params),
+                mesh_lib.replicate(self.mesh, opt_state))
 
     # -- data plumbing ------------------------------------------------------
 
@@ -302,6 +434,21 @@ class Trainer:
                 sl = multihost.process_local_slice(global_rows)
                 arrays = multihost.global_batch_from_local(
                     self.mesh, [a[sl] for a in arrays], global_batch=global_rows)
+            elif self._sp_active:
+                # B on 'data', T on 'seq' (the sp prefix's input layout);
+                # y is time-free and shards on the batch axis only
+                from jax.sharding import NamedSharding, PartitionSpec as P
+
+                n_streams = len(streams)
+                st_sh = NamedSharding(self.mesh, P("data", "seq", None))
+                m_sh = NamedSharding(self.mesh, P("data", "seq"))
+                y_sh = NamedSharding(self.mesh, P("data"))
+                out = [jax.device_put(jnp.asarray(a), st_sh)
+                       for a in arrays[:n_streams]]
+                out.append(jax.device_put(jnp.asarray(arrays[n_streams]), m_sh))
+                if y is not None:
+                    out.append(jax.device_put(jnp.asarray(arrays[-1]), y_sh))
+                arrays = out
             else:
                 arrays = [mesh_lib.shard_batch(self.mesh, jnp.asarray(a))
                           for a in arrays]
@@ -379,9 +526,12 @@ class Trainer:
                      f"padded-frame fraction {train_ds.padded_frame_fraction():.3f} "
                      f"(global-max padding: {global_waste:.3f})")
         else:
-            train_ds = PaddedDataset(train_data[0], train_data[1], train_data[2])
-        val_ds = PaddedDataset(val_data[0], val_data[1], val_data[2])
-        test_ds = PaddedDataset(test_data[0], test_data[1], test_data[2])
+            train_ds = PaddedDataset(train_data[0], train_data[1], train_data[2],
+                                     max_timesteps=self._sp_max_t(train_data[2]))
+        val_ds = PaddedDataset(val_data[0], val_data[1], val_data[2],
+                               max_timesteps=self._sp_max_t(val_data[2]))
+        test_ds = PaddedDataset(test_data[0], test_data[1], test_data[2],
+                                max_timesteps=self._sp_max_t(test_data[2]))
 
         params = self.init_params(jax.random.PRNGKey(o.seed))
         self._finalize_optimizer(params)
@@ -404,8 +554,11 @@ class Trainer:
                 jrng = jax.random.PRNGKey(o.seed + start_epoch)
                 o.log_fn(f"resumed from {o.checkpoint_dir} at epoch {start_epoch}")
         if self.mesh is not None:
-            params = mesh_lib.replicate(self.mesh, params)
-            opt_state = mesh_lib.replicate(self.mesh, opt_state)
+            if self._tp_active:
+                params, opt_state = self._setup_tensor_parallel(params, opt_state)
+            else:
+                params = mesh_lib.replicate(self.mesh, params)
+                opt_state = mesh_lib.replicate(self.mesh, opt_state)
 
         # fixed full-split validation/test batches (reference semantics:
         # runners/4stream.py:370-389 use one batch of the whole split)
@@ -442,6 +595,10 @@ class Trainer:
         # and a validity mask cross the host boundary per step
         use_device_data = (o.device_data and self.mesh is None
                            and not isinstance(train_ds, BucketedDataset))
+        if o.device_data and not use_device_data:
+            o.log_fn("device_data requested but unsupported with "
+                     f"{'a mesh' if self.mesh is not None else 'bucketed batches'}"
+                     "; falling back to host-side batch assembly")
         if use_device_data:
             device = jax.devices()[0]
             dense_dev = [jax.device_put(jnp.asarray(d, jnp.float32), device)
@@ -501,9 +658,7 @@ class Trainer:
             if o.recover_on_nan and not (np.isfinite(cost) and np.isfinite(val_cost)):
                 params = jax.tree_util.tree_map(jnp.asarray, best_params)
                 opt_state = self.optimizer.init(params)
-                if self.mesh is not None:
-                    params = mesh_lib.replicate(self.mesh, params)
-                    opt_state = mesh_lib.replicate(self.mesh, opt_state)
+                params, opt_state = self._place_state(params, opt_state)
                 lr = lr * 0.5
                 o.log_fn(f"Epoch {epoch + 1}: non-finite cost "
                          f"(train={cost}, val={val_cost}); restored best "
@@ -563,6 +718,23 @@ class Trainer:
             test_cr, test_conf = self.evaluate(params, test_streams, test_y, test_mask)
         return TrainResult(best_params, best_val, best_cr, test_cr, test_conf,
                            cost_train, cost_val, class_rate, epochs_run)
+
+    def _sp_max_t(self, seqlens):
+        """Padded T for a dataset under sequence parallelism: the max length
+        rounded up to an sp multiple (so the time axis shards evenly), with
+        the halo constraint T_local >= window checked up front."""
+        if not self._sp_active:
+            return None
+        sp = self.options.sequence_parallel
+        max_t = int(np.asarray(seqlens).reshape(-1).max())
+        padded = int(-(-max_t // sp) * sp)
+        window = self.options.window or self.config.window
+        if padded // sp < window:
+            raise ValueError(
+                f"sequence_parallel={sp} leaves T_local={padded // sp} < "
+                f"window={window} (halo exchange needs T_local >= window); "
+                f"use fewer seq shards or a smaller window")
+        return padded
 
     def init_params(self, key, pretrained_encoders=None, pretrained_stream_lstms=None):
         return adenet.init_adenet_params(key, self.config, pretrained_encoders,

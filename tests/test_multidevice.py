@@ -173,3 +173,109 @@ def test_dp_tp_grads_match_single_device():
                     jax.tree_util.tree_leaves(g_sharded)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=2e-4, atol=1e-6)
+
+
+def _corpus(n_videos, dim=24, classes=4, seed=1):
+    rng = np.random.RandomState(seed)
+    lens = rng.randint(5, 10, n_videos)
+    y_video = rng.randint(0, classes, n_videos)
+    frames, y_frames = [], []
+    for l, c in zip(lens, y_video):
+        base = np.zeros(dim)
+        base[c] = 3.0
+        frames.append(base + 0.3 * rng.randn(l, dim))
+        y_frames.append(np.full(l, c))
+    return (np.concatenate(frames).astype(np.float32),
+            np.concatenate(y_frames), lens)
+
+
+def _tp_cfg():
+    return zoo.deltanet_majority_vote(24, [32, 16, 8],
+                                      ["sigmoid", "sigmoid", "linear"],
+                                      lstm_size=8, window=4, output_classes=4)
+
+
+def test_trainer_model_parallel_step_equals_single_device():
+    """model_parallel=2 as a Trainer capability (not just the dryrun): one
+    train step on the dp x tp mesh matches the single-device step, and the
+    encoder weights/moments really are tensor-parallel."""
+    from jax.sharding import PartitionSpec as P
+
+    from ip_avsr_tpu.train.trainer import Trainer, TrainOptions
+
+    cfg = _tp_cfg()
+    params = adenet.init_adenet_params(jax.random.PRNGKey(0), cfg)
+    rng = np.random.RandomState(0)
+    B, T = 16, 9
+    x = rng.randn(B, T, 24).astype(np.float32)
+    lens = rng.randint(3, T + 1, B)
+    mask = (np.arange(T)[None, :] < lens[:, None]).astype(np.float32)
+    y = rng.randint(0, 4, B).astype(np.int32)
+
+    opts = lambda **kw: TrainOptions(optimizer="momentum", learning_rate=1e-3,  # noqa: E731
+                                     log_fn=lambda *_: None, **kw)
+    single = Trainer(cfg, opts())
+    tp = Trainer(cfg, opts(model_parallel=2))
+    assert dict(zip(tp.mesh.axis_names, tp.mesh.devices.shape)) == \
+        {"data": 4, "model": 2}
+
+    fresh = lambda: jax.tree_util.tree_map(jnp.array, params)  # noqa: E731
+    p0 = fresh()
+    s_args = single._device_batch([x], y, mask)
+    p1, _, l1 = single.train_step(p0, single.optimizer.init(p0), s_args[0],
+                                  s_args[1], s_args[2], jax.random.PRNGKey(3),
+                                  jnp.asarray(1e-3, jnp.float32))
+
+    p0b = fresh()
+    opt0 = tp.optimizer.init(p0b)
+    p0b, opt0 = tp._setup_tensor_parallel(p0b, opt0)
+    t_args = tp._device_batch([x], y, mask)
+    p2, s2, l2 = tp.train_step(p0b, opt0, t_args[0], t_args[1], t_args[2],
+                               jax.random.PRNGKey(3),
+                               jnp.asarray(1e-3, jnp.float32))
+
+    # encoder weights, biases AND the mirrored optimizer state are sharded
+    assert p2["streams"]["s1"]["encoder"]["fc1"]["w"].sharding.spec == \
+        P(None, "model")
+    assert p2["streams"]["s1"]["encoder"]["fc1"]["b"].sharding.spec == P("model")
+    assert s2["velocity"]["streams"]["s1"]["encoder"]["fc1"]["w"].sharding.spec \
+        == P(None, "model")
+
+    np.testing.assert_allclose(float(l1), float(l2), rtol=1e-5)
+    for a, b in zip(jax.tree_util.tree_leaves(p1), jax.tree_util.tree_leaves(p2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-6)
+
+    e1 = float(single.eval_cost(params, *s_args))
+    e2 = float(tp.eval_cost(params, *t_args))
+    np.testing.assert_allclose(e1, e2, rtol=1e-5)
+
+
+def test_trainer_model_parallel_fit_composes(tmp_path):
+    """A dp x tp fit() composes with length-bucketed batches and
+    checkpoint/resume, and still learns."""
+    from ip_avsr_tpu.train.trainer import Trainer, TrainOptions
+
+    X, y, lens = _corpus(48)
+    Xv, yv, lensv = _corpus(12, seed=2)
+    cfg = _tp_cfg()
+
+    def opts(**kw):
+        base = dict(num_epoch=4, epochsize=5, batchsize=16,
+                    learning_rate=0.01, optimizer="adam",
+                    model_parallel=2, prefetch_batches=False,
+                    bucket_boundaries="auto",
+                    checkpoint_dir=str(tmp_path / "ckpt"),
+                    log_fn=lambda *_: None)
+        base.update(kw)
+        return TrainOptions(**base)
+
+    tr = Trainer(cfg, opts())
+    res = tr.fit(([X], y, lens), ([Xv], yv, lensv), ([Xv], yv, lensv))
+    assert res.class_rate[-1] > 0.5
+
+    # resume from the checkpoint and keep training a step
+    tr2 = Trainer(cfg, opts(resume=True, num_epoch=5))
+    res2 = tr2.fit(([X], y, lens), ([Xv], yv, lensv), ([Xv], yv, lensv))
+    assert res2.epochs_run == 5
+    assert np.isfinite(res2.cost_val).all()

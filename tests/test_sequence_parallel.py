@@ -171,3 +171,112 @@ def test_sp_validation_errors():
     bad_b = [x[:6] for x in inputs]  # 6 % 8 != 0
     with pytest.raises(ValueError, match="data\\*seq"):
         seq_lib.adenet_forward_sp(params, cfg, bad_b, mask[:6], mesh)
+
+
+def test_sp_batchnorm_synced_matches_unsharded():
+    """Batch-norm streams under the sp prefix: training statistics psum over
+    BOTH mesh axes (batch and time are sharded; Lasagne BN pools every
+    non-feature axis), so the sharded forward and the updated running
+    averages match the unsharded program."""
+    cfg = zoo.adenet_v1(12, 6, lstm_size=8, window=3, output_classes=4)
+    s0 = adenet.StreamSpec(**{**cfg.streams[0].__dict__,
+                              "encoder_shapes": (10, 8, 6, 5),
+                              "encoder_nonlinearities": ("sigmoid",) * 3 + ("linear",)})
+    cfg = adenet.AdeNetConfig(**{**cfg.__dict__, "streams": [s0, cfg.streams[1]]})
+    assert any(s.use_batchnorm for s in cfg.streams)
+    params = adenet.init_adenet_params(jax.random.PRNGKey(0), cfg)
+    rng = np.random.RandomState(4)
+    B, T = 8, 16
+    inputs = [jnp.asarray(rng.randn(B, T, s.input_dim).astype(np.float32))
+              for s in cfg.streams]
+    lens = rng.randint(T // 2, T + 1, B)
+    mask = jnp.asarray((np.arange(T)[None, :] < lens[:, None]).astype(np.float32))
+
+    # train=True exercises the minibatch-statistics path (no dropout in v1)
+    want, want_aux = jax.jit(
+        lambda p, a, b, m: adenet.adenet_forward(p, cfg, [a, b], m, train=True,
+                                                 return_aux=True)
+    )(params, *inputs, mask)
+
+    mesh = _mesh(2, 4)
+    sp_fn = jax.jit(lambda p, a, b, m: seq_lib.adenet_forward_sp(
+        p, cfg, [a, b], m, mesh, train=True, return_aux=True))
+    in_sh = NamedSharding(mesh, P("data", "seq", None))
+    args = [jax.device_put(x, in_sh) for x in inputs]
+    mask_s = jax.device_put(mask, NamedSharding(mesh, P("data", "seq")))
+    with mesh:
+        got, got_aux = sp_fn(params, *args, mask_s)
+    # atol 2e-5: the synced var uses the one-pass E[x^2]-mean^2 form, which
+    # rounds differently from the unsharded two-pass var
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=2e-5)
+    for a, b in zip(jax.tree_util.tree_leaves(want_aux["bn_state"]),
+                    jax.tree_util.tree_leaves(got_aux["bn_state"])):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-7)
+
+
+def test_trainer_sequence_parallel_fit():
+    """sequence_parallel as a Trainer capability: TrainOptions(
+    sequence_parallel=2) builds the dp x sp mesh, pads T to an sp multiple,
+    routes loss/eval/predict through adenet_forward_sp, and a short fit()
+    learns; a train step on sp-divisible data matches the plain dp step."""
+    from ip_avsr_tpu.train.trainer import Trainer, TrainOptions
+
+    rng = np.random.RandomState(1)
+    dim, classes, n_videos = 8, 3, 48
+    # every length 8..16 so padded T=16 is naturally sp-divisible
+    lens = rng.randint(8, 17, n_videos)
+    lens[0] = 16
+    y_video = rng.randint(0, classes, n_videos)
+    frames, y_frames = [], []
+    for l, c in zip(lens, y_video):
+        base = np.zeros(dim)
+        base[c] = 3.0
+        frames.append(base + 0.3 * rng.randn(l, dim))
+        y_frames.append(np.full(l, c))
+    X = np.concatenate(frames).astype(np.float32)
+    yf = np.concatenate(y_frames)
+
+    cfg = zoo.deltanet_majority_vote(dim, [16, 8], ["sigmoid", "linear"],
+                                     lstm_size=12, window=3, output_classes=classes)
+
+    def opts(**kw):
+        base = dict(num_epoch=4, epochsize=5, batchsize=16, learning_rate=0.01,
+                    optimizer="adam", prefetch_batches=False,
+                    log_fn=lambda *_: None)
+        base.update(kw)
+        return TrainOptions(**base)
+
+    sp_tr = Trainer(cfg, opts(sequence_parallel=2))
+    assert dict(zip(sp_tr.mesh.axis_names, sp_tr.mesh.devices.shape)) == \
+        {"data": 4, "seq": 2}
+    res = sp_tr.fit(([X], yf, lens), ([X], yf, lens), ([X], yf, lens))
+    assert res.class_rate[-1] > 0.6
+
+    # step equality vs the plain dp mesh (dropout-free model, momentum)
+    params = adenet.init_adenet_params(jax.random.PRNGKey(0), cfg)
+    x16 = np.zeros((16, 16, dim), np.float32)
+    m16 = np.zeros((16, 16), np.float32)
+    yv = np.zeros((16,), np.int32)
+    offs = np.concatenate([[0], np.cumsum(lens)]).astype(int)
+    for k in range(16):
+        l = int(lens[k])
+        x16[k, :l] = X[offs[k]:offs[k] + l]
+        m16[k, :l] = 1.0
+        yv[k] = y_video[k]
+
+    dp_tr = Trainer(cfg, opts(optimizer="momentum", use_mesh=True))
+    sp_tr2 = Trainer(cfg, opts(optimizer="momentum", sequence_parallel=2))
+    outs = []
+    for tr in (dp_tr, sp_tr2):
+        dev = tr._device_batch([x16], yv, m16)
+        p0 = jax.tree_util.tree_map(jnp.array, params)
+        p, _, l = tr.train_step(p0, tr.optimizer.init(p0), dev[0], dev[1],
+                                dev[2], jax.random.PRNGKey(3),
+                                jnp.asarray(1e-3, jnp.float32))
+        outs.append((float(l), jax.tree_util.tree_map(np.asarray, p)))
+    np.testing.assert_allclose(outs[0][0], outs[1][0], rtol=1e-5)
+    for a, b in zip(jax.tree_util.tree_leaves(outs[0][1]),
+                    jax.tree_util.tree_leaves(outs[1][1])):
+        np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-6)

@@ -130,11 +130,80 @@ def test_shard_map_fit_learns():
     assert result.class_rate[-1] > 0.6
 
 
-def test_shard_map_rejects_batchnorm():
-    cfg = zoo.adenet_v1(12, 6, lstm_size=8, output_classes=4)
+def _tiny_adenet_v1():
+    """adenet_v1 (batch-normalized encoder stream, ref modelzoo/adenet_v1.py:82)
+    shrunk to test size."""
+    cfg = zoo.adenet_v1(12, 6, lstm_size=8, window=3, output_classes=4)
+    s0 = adenet.StreamSpec(**{**cfg.streams[0].__dict__,
+                              "encoder_shapes": (10, 8, 6, 5),
+                              "encoder_nonlinearities": ("sigmoid",) * 3 + ("linear",)})
+    return adenet.AdeNetConfig(**{**cfg.__dict__, "streams": [s0, cfg.streams[1]]})
+
+
+def test_shard_map_synced_batchnorm_equals_gspmd_and_single():
+    """Batch-norm streams train under mesh_mode='shard_map' with CROSS-SHARD
+    statistics (psum of sum/sumsq/count): one train step produces the same
+    loss, parameters, AND updated BN running averages as the GSPMD mesh path
+    and the single-device step."""
+    cfg = _tiny_adenet_v1()
     assert any(s.use_batchnorm for s in cfg.streams)
-    with pytest.raises(ValueError, match="batch-norm"):
-        Trainer(cfg, _options(use_mesh=True, mesh_mode="shard_map"))
+    params = adenet.init_adenet_params(jax.random.PRNGKey(0), cfg)
+    rng = np.random.RandomState(0)
+    B, T = 16, 6
+    x1 = rng.randn(B, T, 12).astype(np.float32)
+    x2 = rng.randn(B, T, 6).astype(np.float32)
+    lens = rng.randint(3, T + 1, B)
+    mask = (np.arange(T)[None, :] < lens[:, None]).astype(np.float32)
+    y = rng.randint(0, 4, B).astype(np.int32)
+
+    trainers = {
+        "single": Trainer(cfg, _options()),
+        "gspmd": Trainer(cfg, _options(use_mesh=True)),
+        "shard_map": Trainer(cfg, _options(use_mesh=True, mesh_mode="shard_map")),
+    }
+    results = {}
+    for name, tr in trainers.items():
+        dev = tr._device_batch([x1, x2], y, mask)
+        p0 = jax.tree_util.tree_map(jnp.array, params)
+        p, _, loss = tr.train_step(p0, tr.optimizer.init(p0), dev[0], dev[1],
+                                   dev[2], jax.random.PRNGKey(3),
+                                   jnp.asarray(1e-3, jnp.float32))
+        results[name] = (float(loss), jax.tree_util.tree_map(np.asarray, p))
+
+    l_ref, p_ref = results["single"]
+    for name in ("gspmd", "shard_map"):
+        l, p = results[name]
+        np.testing.assert_allclose(l, l_ref, rtol=1e-5)
+        for a, b in zip(jax.tree_util.tree_leaves(p_ref),
+                        jax.tree_util.tree_leaves(p)):
+            np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-6)
+    # BN running stats moved off their init (the merge actually happened)
+    bn = results["shard_map"][1]["streams"]["raw"]["bn_state"]
+    assert np.abs(bn["mean"]).max() > 0
+
+
+def test_shard_map_adam_loss_trajectory_matches():
+    """Cross-mode check for the ADAM path: adam's first-step updates are
+    ~sign(grad)*lr so parameter equality is meaningless under float
+    reduction-order noise, but a short fit's LOSS TRAJECTORY must agree
+    within tolerance across single-device / gspmd / shard_map."""
+    X, y, lens = _flat_corpus(48)
+    Xv, yv, lensv = _flat_corpus(12, seed=2)
+    cfg = zoo.lstm_classifier_majority_vote(8, lstm_size=12, output_classes=3)
+
+    def run(**kw):
+        tr = Trainer(cfg, _options(num_epoch=4, epochsize=4, batchsize=16,
+                                   learning_rate=0.01, optimizer="adam",
+                                   prefetch_batches=False, **kw))
+        res = tr.fit(([X], y, lens), ([Xv], yv, lensv), ([Xv], yv, lensv))
+        return np.asarray(res.cost_val)
+
+    base = run()
+    gspmd = run(use_mesh=True)
+    sm = run(use_mesh=True, mesh_mode="shard_map")
+    # identical data order + dropout-free model: trajectories track closely
+    np.testing.assert_allclose(gspmd, base, rtol=0.05, atol=0.02)
+    np.testing.assert_allclose(sm, base, rtol=0.05, atol=0.02)
 
 
 def test_shard_map_with_bucketed_batches():
