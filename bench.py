@@ -191,9 +191,80 @@ def measure_train(batch, iters, matmul_dtype="bfloat16", device=None):
     args = [jax.device_put(x, device) for x in inputs]
     y_d = jax.device_put(y, device)
     mask_d = jax.device_put(mask, device)
-    _ = float(chained(params, opt_state, *args, y_d, mask_d, 1))  # compile+warmup
-    t0 = time.perf_counter()
-    acc = float(chained(params, opt_state, *args, y_d, mask_d, iters))
+    with _dispatch_ctx(device):
+        _ = float(chained(params, opt_state, *args, y_d, mask_d, 1))  # compile+warmup
+        t0 = time.perf_counter()
+        acc = float(chained(params, opt_state, *args, y_d, mask_d, iters))
+    dt = time.perf_counter() - t0
+    assert np.isfinite(acc)
+    return batch * iters / dt
+
+
+def _dispatch_ctx(device):
+    """Pallas auto-dispatch must be off when compiling for a non-default
+    device (the CPU reference baselines on a TPU-default process)."""
+    import contextlib
+
+    from ip_avsr_tpu.ops.pallas import dispatch
+
+    if device is not None and device.platform != "tpu":
+        return dispatch.disabled()
+    return contextlib.nullcontext()
+
+
+def _build_peep(batch):
+    """adenet_v2_1 at OuluVS scale: raw+diff ReLU encoders (2000/1000/500/50),
+    peepholes ON (the reference default, custom/layers.py:10) — exercises the
+    peephole Pallas train kernels."""
+    import jax
+    import numpy as np
+
+    from ip_avsr_tpu.models import adenet, zoo
+
+    cfg = zoo.adenet_v2_1(1144, 1144, lstm_size=250, window=9, output_classes=10)
+    assert cfg.use_peepholes
+    with jax.default_device(jax.devices("cpu")[0]):
+        params = adenet.init_adenet_params(jax.random.PRNGKey(0), cfg)
+    rng = np.random.RandomState(0)
+    inputs = [rng.randn(batch, T_FRAMES, s.input_dim).astype(np.float32)
+              for s in cfg.streams]
+    lens = rng.randint(T_FRAMES // 2, T_FRAMES + 1, batch)
+    mask = (np.arange(T_FRAMES)[None, :] < lens[:, None]).astype(np.float32)
+    return cfg, params, inputs, mask
+
+
+def measure_train_peep(batch, iters, device=None):
+    """Training-step throughput for the peephole flagship (adenet_v2_1).
+    Same airtight chained-step timing as measure_train."""
+    import jax
+    import jax.numpy as jnp
+
+    cfg, params, inputs, mask = _build_peep(batch)
+    device = device or jax.devices()[0]
+    optimizer, train_step = _make_train_step(cfg)
+    params = jax.device_put(params, device)
+    opt_state = jax.device_put(optimizer.init(params), device)
+    y = np.random.RandomState(1).randint(0, 10, batch).astype(np.int32)
+
+    @jax.jit
+    def chained(params, opt_state, raw, diff, y, mask, n):
+        def body(i, carry):
+            params, opt_state, acc = carry
+            rng = jax.random.fold_in(jax.random.PRNGKey(0), i)
+            params, opt_state, loss = train_step(
+                params, opt_state, [raw, diff], y, mask, rng)
+            return params, opt_state, acc + loss.astype(jnp.float32)
+        params, opt_state, acc = jax.lax.fori_loop(
+            0, n, body, (params, opt_state, jnp.float32(0.0)))
+        return acc
+
+    args = [jax.device_put(x, device) for x in inputs]
+    y_d = jax.device_put(y, device)
+    mask_d = jax.device_put(mask, device)
+    with _dispatch_ctx(device):
+        _ = float(chained(params, opt_state, *args, y_d, mask_d, 1))
+        t0 = time.perf_counter()
+        acc = float(chained(params, opt_state, *args, y_d, mask_d, iters))
     dt = time.perf_counter() - t0
     assert np.isfinite(acc)
     return batch * iters / dt
@@ -263,7 +334,34 @@ def measure_serving_latency(n_calls=50, matmul_dtype="bfloat16"):
     t0 = time.perf_counter()
     _ = float(chained(raw, m, n_chain))
     on_device = (time.perf_counter() - t0) / n_chain * 1e3
-    return p50, float(on_device)
+
+    # sustained batch-1 latency through the PIPELINED raw-pixel server
+    # (serve.PipelinedServer around the same trimodal server as p50):
+    # requests dispatch asynchronously and results are fetched in on-device
+    # concatenated blocks, so the ~33 ms tunnel round trip amortizes over
+    # `depth` requests instead of serializing.  Requests are RAW uint8 ROI
+    # pixels (33 KB; what a camera pipeline ships — the reference's serve
+    # path also starts from uint8 video, oulu/demo.py:432-447) with
+    # DCT/diff/norms computed on-device; distinct host inputs each call.
+    pipe = serve_lib.PipelinedServer(serve_fn=server, depth=32)
+    host_rng = np.random.RandomState(7)
+    n_req = 64
+    reqs = [((host_rng.rand(1, T_FRAMES, 1144) * 255).astype(np.uint8), mask)
+            for _ in range(4)]
+
+    def traffic():
+        for i in range(n_req):
+            yield reqs[i % len(reqs)]
+
+    for out in pipe.map(traffic()):  # warmup (compile shared with p50)
+        pass
+    t0 = time.perf_counter()
+    n_done = 0
+    for out in pipe.map(traffic()):
+        n_done += 1
+    sustained = (time.perf_counter() - t0) / n_done * 1e3
+    assert n_done == n_req and np.isfinite(out).all()
+    return p50, float(on_device), float(sustained)
 
 
 def measure_serving_latency_cpu_reference(n_calls=3):
@@ -357,6 +455,10 @@ def main():
         "batch": 16})
     train_baseline = cached("train_cpu", lambda: {
         "utt_per_sec": measure_train_cpu_reference(batch=16, iters=2), "batch": 16})
+    peep_baseline = cached("train_cpu_peep", lambda: {
+        "utt_per_sec": measure_train_peep(16, 2,
+                                          device=__import__("jax").devices("cpu")[0]),
+        "batch": 16})
     latency_baseline = cached("serve_cpu_ms", measure_serving_latency_cpu_reference)
 
     best_train = 0.0
@@ -369,13 +471,29 @@ def main():
         "vs_baseline": round(best_train / train_baseline["utt_per_sec"], 2),
     }))
 
-    p50, on_device_ms = measure_serving_latency(latency_calls)
+    peep_tput = measure_train_peep(256, train_iters)
+    print(json.dumps({
+        "metric": "bimodal_peep_train_utt_per_sec_per_chip",
+        "value": round(peep_tput, 2),
+        "unit": "utterances/sec/chip",
+        "vs_baseline": round(peep_tput / peep_baseline["utt_per_sec"], 2),
+    }))
+
+    p50, on_device_ms, sustained_ms = measure_serving_latency(latency_calls)
     print(json.dumps({
         "metric": "trimodal_serve_batch1_p50_ms",
         "value": round(p50, 3),
         "unit": "ms",
         "vs_baseline": round(latency_baseline / p50, 2),  # speedup vs CPU serve
         "on_device_ms": round(on_device_ms, 3),  # p50 minus the tunnel round trip
+    }))
+    print(json.dumps({
+        "metric": "trimodal_serve_batch1_sustained_ms",
+        "value": round(sustained_ms, 3),
+        "unit": "ms/request",
+        # same CPU batch-1 denominator: the pipelined server's amortized
+        # per-request latency vs the reference's synchronous NumPy serve
+        "vs_baseline": round(latency_baseline / sustained_ms, 2),
     }))
 
     best = 0.0

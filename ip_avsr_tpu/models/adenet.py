@@ -93,7 +93,8 @@ class AdeNetConfig:
     # gate math; bit-exact vs the scan and ~18% faster on v5e at B=1024).
     # Training goes through ops/lstm's custom-VJP core, which dispatches its
     # own Pallas forward/backward kernels when shapes fit VMEM regardless of
-    # this flag. Peephole models fall back to XLA everywhere.
+    # this flag. Peephole models (the reference default) have their own
+    # kernel variants on every path.
     lstm_impl: str = "xla"
 
     def stream_lstm_size(self, spec: StreamSpec) -> int:
@@ -288,8 +289,7 @@ def head_forward(params, config: AdeNetConfig, stream_feats, mask, train,
     B, T = stream_feats[0].shape[0], stream_feats[0].shape[1]
 
     def run_lstm(p, feats, m, backwards=False):
-        if (config.lstm_impl == "pallas" and not train
-                and "w_cell_to_ingate" not in p):
+        if config.lstm_impl == "pallas" and not train:
             from ip_avsr_tpu.ops.pallas import lstm_kernel
 
             return lstm_kernel.lstm_forward_pallas(p, feats, m, backwards=backwards,

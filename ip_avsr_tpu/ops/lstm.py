@@ -446,32 +446,15 @@ _lstm_core.defvjp(_lstm_core_fwd, _lstm_core_bwd)
 # Peephole variant: same batched-weight-gradient strategy; the peephole
 # connections (cell_prev into in/forget gate pre-activations POST-clip-node,
 # new cell into the outgate — custom/layers.py:10-27 peepholes) add three
-# (H,) vector gradients accumulated inside the backward scan.  XLA scans
-# only (the Pallas kernels are non-peephole).
+# (H,) vector gradients accumulated inside the backward scan.  Like the
+# non-peephole core, all three passes dispatch Pallas kernels when shapes
+# fit VMEM (ops/pallas/lstm_kernel.lstm_pallas_peep*), with the XLA scans
+# as fallback and numerical reference; the peephole-gradient accumulators
+# live in VMEM scratch inside the backward kernel.
 
-def _lstm_core_peep_fwd_impl(static, w_in, w_hid, b, cell_init, hid_init,
-                             w_ci, w_cf, w_co, x, mask):
-    backwards, _clip, md = static
-    mmdtype = jnp.dtype(md) if md else None
-    B, T, D = x.shape
-    H = w_hid.shape[0]
-    f32 = x.dtype
-    if backwards:
-        x = jnp.flip(x, axis=1)
-        mask = jnp.flip(mask, axis=1)
-    x_mm = x.astype(mmdtype) if mmdtype else x
-    w_in_mm = w_in.astype(mmdtype) if mmdtype else w_in
-    x_proj = (
-        jnp.dot(x_mm.reshape(B * T, D), w_in_mm, preferred_element_type=jnp.float32)
-        .reshape(B, T, 4 * H)
-        .astype(f32)
-        + b.astype(f32)
-    )
-    x_proj_t = jnp.transpose(x_proj, (1, 0, 2))
-    mask_t = jnp.transpose(mask, (1, 0))[..., None]
-    cell0 = jnp.broadcast_to(cell_init, (B, H)).astype(f32)
-    hid0 = jnp.broadcast_to(hid_init, (B, H)).astype(f32)
-    w_hid_mm = w_hid.astype(mmdtype) if mmdtype else w_hid
+def _peep_recurrence_scan(x_proj_t, mask_t, cell0, hid0, w_hid_mm, w_ci, w_cf,
+                          w_co, H, f32, collect_residuals):
+    """XLA fallback peephole recurrence (Lasagne mask-carry)."""
 
     def step(carry, inputs):
         cell_prev, hid_prev = carry
@@ -486,10 +469,32 @@ def _lstm_core_peep_fwd_impl(static, w_in, w_hid, b, cell_init, hid_init,
         hid_cand = o * jnp.tanh(cell_cand)
         cell = m * cell_cand + (1.0 - m) * cell_prev
         hid = m * hid_cand + (1.0 - m) * hid_prev
-        return (cell, hid), (hid, cell, gates)
+        out = (hid, cell, gates) if collect_residuals else hid
+        return (cell, hid), out
 
-    (_, _), (hids, cells, gates_pre) = jax.lax.scan(
-        step, (cell0, hid0), (x_proj_t, mask_t))
+    (_, _), ys = jax.lax.scan(step, (cell0, hid0), (x_proj_t, mask_t))
+    return ys
+
+
+def _lstm_core_peep_fwd_impl(static, w_in, w_hid, b, cell_init, hid_init,
+                             w_ci, w_cf, w_co, x, mask):
+    backwards = static[0]
+    x, mask, x_proj, cell0, hid0, w_hid_mm, H, f32 = _lstm_prep(
+        static, w_in, w_hid, b, cell_init, hid_init, x, mask)
+    B, T = x.shape[0], x.shape[1]
+    x_proj_t = jnp.transpose(x_proj, (1, 0, 2))
+    mask_t = jnp.transpose(mask, (1, 0))[..., None]
+
+    if _pallas_train_ok(B, T, H):
+        from ip_avsr_tpu.ops.pallas import lstm_kernel
+
+        hids, cells, gates_pre = lstm_kernel.lstm_pallas_peep_train(
+            x_proj_t, w_hid_mm, mask_t.astype(f32), cell0, hid0,
+            w_ci, w_cf, w_co)
+    else:
+        hids, cells, gates_pre = _peep_recurrence_scan(
+            x_proj_t, mask_t, cell0, hid0, w_hid_mm, w_ci, w_cf, w_co, H, f32,
+            collect_residuals=True)
     out = jnp.transpose(hids, (1, 0, 2))
     if backwards:
         out = jnp.flip(out, axis=1)
@@ -498,12 +503,38 @@ def _lstm_core_peep_fwd_impl(static, w_in, w_hid, b, cell_init, hid_init,
     return out, residuals
 
 
+def _lstm_core_peep_primal_impl(static, w_in, w_hid, b, cell_init, hid_init,
+                                w_ci, w_cf, w_co, x, mask):
+    """Primal-only peephole forward (no residuals written — see
+    _lstm_core_primal_impl for why this matters with opaque pallas_calls)."""
+    backwards = static[0]
+    x, mask, x_proj, cell0, hid0, w_hid_mm, H, f32 = _lstm_prep(
+        static, w_in, w_hid, b, cell_init, hid_init, x, mask)
+    B, T = x.shape[0], x.shape[1]
+
+    if _pallas_train_ok(B, T, H):
+        from ip_avsr_tpu.ops.pallas import lstm_kernel
+
+        out = lstm_kernel.lstm_pallas_peep(x_proj, w_hid_mm,
+                                           mask.astype(f32), cell0, hid0,
+                                           w_ci, w_cf, w_co)
+    else:
+        x_proj_t = jnp.transpose(x_proj, (1, 0, 2))
+        mask_t = jnp.transpose(mask, (1, 0))[..., None]
+        hids = _peep_recurrence_scan(x_proj_t, mask_t, cell0, hid0, w_hid_mm,
+                                     w_ci, w_cf, w_co, H, f32,
+                                     collect_residuals=False)
+        out = jnp.transpose(hids, (1, 0, 2))
+    if backwards:
+        out = jnp.flip(out, axis=1)
+    return out
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
 def _lstm_core_peep(static, w_in, w_hid, b, cell_init, hid_init,
                     w_ci, w_cf, w_co, x, mask):
-    out, _ = _lstm_core_peep_fwd_impl(static, w_in, w_hid, b, cell_init,
-                                      hid_init, w_ci, w_cf, w_co, x, mask)
-    return out
+    return _lstm_core_peep_primal_impl(static, w_in, w_hid, b, cell_init,
+                                       hid_init, w_ci, w_cf, w_co, x, mask)
 
 
 def _lstm_core_peep_fwd(static, w_in, w_hid, b, cell_init, hid_init,
@@ -561,11 +592,19 @@ def _lstm_core_peep_bwd(static, residuals, g_out):
                       + (1.0 - m) * dcell_next)
         return (dcell_prev, dhid_prev, dw_ci_acc, dw_cf_acc, dw_co_acc), dgates
 
-    zeros = jnp.zeros((B, H), f32)
-    zh = jnp.zeros((H,), f32)
-    (dcell0_g, dhid0_g, dw_ci, dw_cf, dw_co), dgates_all = jax.lax.scan(
-        back_step, (zeros, zeros, zh, zh, zh),
-        (g_out_t, gates_pre, cells, cells_prev, mask_t), reverse=True)
+    if _pallas_train_ok(B, T, H):
+        from ip_avsr_tpu.ops.pallas import lstm_kernel
+
+        (dgates_all, dcell0_g, dhid0_g, dw_ci, dw_cf,
+         dw_co) = lstm_kernel.lstm_pallas_peep_bwd_chain(
+            g_out_t, gates_pre, cells, cells_prev, mask_t, w_hid_mm,
+            w_ci, w_cf, w_co, grad_clipping)
+    else:
+        zeros = jnp.zeros((B, H), f32)
+        zh = jnp.zeros((H,), f32)
+        (dcell0_g, dhid0_g, dw_ci, dw_cf, dw_co), dgates_all = jax.lax.scan(
+            back_step, (zeros, zeros, zh, zh, zh),
+            (g_out_t, gates_pre, cells, cells_prev, mask_t), reverse=True)
 
     hids_prev = jnp.concatenate([hid0[None], hids[:-1]], axis=0)
     dg_flat = dgates_all.reshape(T * B, 4 * H)

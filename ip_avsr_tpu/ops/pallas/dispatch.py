@@ -17,6 +17,7 @@ import contextlib
 import contextvars
 
 _local_shapes = contextvars.ContextVar("pallas_local_shapes", default=False)
+_disabled = contextvars.ContextVar("pallas_disabled", default=False)
 
 
 @contextlib.contextmanager
@@ -27,6 +28,21 @@ def local_shapes():
         yield
     finally:
         _local_shapes.reset(token)
+
+
+@contextlib.contextmanager
+def disabled():
+    """Force auto-dispatch OFF for the enclosed trace.
+
+    Needed when a program is explicitly compiled for a NON-default device
+    (e.g. bench.py's CPU-reference baselines on a TPU-default process):
+    the heuristics only see the default backend, and a TPU kernel baked
+    into a CPU-compiled jit fails at lowering."""
+    token = _disabled.set(True)
+    try:
+        yield
+    finally:
+        _disabled.reset(token)
 
 
 def shapes_are_local() -> bool:
@@ -40,6 +56,8 @@ def auto_dispatch_ok() -> bool:
     import jax
 
     try:
+        if _disabled.get():
+            return False
         if jax.default_backend() != "tpu":
             return False
         return jax.device_count() == 1 or shapes_are_local()

@@ -13,13 +13,15 @@ recurrence as a Pallas grid sweep over (batch tiles, time):
     grid steps (TPU grids execute sequentially), re-initialized at t == 0 of
     each batch tile.
 
-Semantics are identical to ops/lstm.lstm_forward (Lasagne mask-carry, no
-peepholes; peephole models fall back to the XLA path).  Three kernels:
-``_lstm_kernel`` (inference forward), ``_lstm_train_kernel`` (forward that
-also writes the custom-VJP residuals: post-mask cells + pre-activation
-gates), and ``_lstm_bwd_kernel`` (the reverse-time backward chain).  The
-training kernels are dispatched by ops/lstm._lstm_core when shapes fit VMEM;
-the XLA scans remain the fallback and numerical reference.
+Semantics are identical to ops/lstm.lstm_forward (Lasagne mask-carry).
+Six kernels — three per peephole setting: ``_lstm[_peep]_kernel``
+(inference forward), ``_lstm[_peep]_train_kernel`` (forward that also
+writes the custom-VJP residuals: post-mask cells + pre-activation gates),
+and ``_lstm[_peep]_bwd_kernel`` (the reverse-time backward chain; the
+peephole variant accumulates the three (H,) peephole gradients in VMEM
+scratch).  The training kernels are dispatched by ops/lstm._lstm_core /
+_lstm_core_peep when shapes fit VMEM; the XLA scans remain the fallback
+and numerical reference.
 """
 
 from __future__ import annotations
@@ -310,6 +312,324 @@ def lstm_pallas_bwd_chain(g_out_t, gates_pre, cells, cells_prev, mask_t, w_hid,
     return dgates[:, :B], dcell0[:B], dhid0[:B]
 
 
+# ---------------------------------------------------------------------------
+# Peephole variants (the reference DEFAULT: custom/layers.py:10 use_peepholes).
+# Same grid/layout/scratch design as the non-peephole kernels; the three
+# peephole vectors ride in as (1, H) blocks with constant index maps (fetched
+# once, VMEM-resident like w_hid).  Residual contract matches
+# ops/lstm._lstm_core_peep: gates_pre is PRE-peephole (the peephole adds are
+# recomputed in the backward from cells/cells_prev), so the XLA scan and the
+# kernel share one backward formulation.
+# ---------------------------------------------------------------------------
+
+def _lstm_peep_kernel(x_proj_ref, w_hid_ref, mask_ref, cell0_ref, hid0_ref,
+                      wci_ref, wcf_ref, wco_ref, out_ref, cell_scr, hid_scr,
+                      *, H: int):
+    t = pl.program_id(1)
+
+    @pl.when(t == 0)
+    def _init():
+        cell_scr[...] = cell0_ref[...]
+        hid_scr[...] = hid0_ref[...]
+
+    cell_prev = cell_scr[...]
+    hid_prev = hid_scr[...]
+
+    gates = x_proj_ref[0] + jnp.dot(
+        hid_prev.astype(w_hid_ref.dtype), w_hid_ref[...],
+        preferred_element_type=jnp.float32,
+    )
+    ingate = jax.nn.sigmoid(gates[:, 0 * H : 1 * H] + cell_prev * wci_ref[...])
+    forgetgate = jax.nn.sigmoid(gates[:, 1 * H : 2 * H] + cell_prev * wcf_ref[...])
+    cell_input = jnp.tanh(gates[:, 2 * H : 3 * H])
+    cell = forgetgate * cell_prev + ingate * cell_input
+    outgate = jax.nn.sigmoid(gates[:, 3 * H : 4 * H] + cell * wco_ref[...])
+    hid = outgate * jnp.tanh(cell)
+
+    m = mask_ref[0][:, 0:1]
+    cell = m * cell + (1.0 - m) * cell_prev
+    hid = m * hid + (1.0 - m) * hid_prev
+
+    cell_scr[...] = cell
+    hid_scr[...] = hid
+    out_ref[0] = hid
+
+
+def lstm_pallas_peep(x_proj, w_hid, mask, cell0, hid0, w_ci, w_cf, w_co, *,
+                     block_b: int = 256, interpret: bool = False):
+    """Peephole inference recurrence; same contract as :func:`lstm_pallas`
+    plus the three (H,) peephole vectors."""
+    B, T, H4 = x_proj.shape
+    H = H4 // 4
+    block_b = min(block_b, B)
+    if B % block_b != 0:
+        pad = block_b - B % block_b
+        x_proj = jnp.pad(x_proj, ((0, pad), (0, 0), (0, 0)))
+        mask = jnp.pad(mask, ((0, pad), (0, 0)))
+        cell0 = jnp.pad(cell0, ((0, pad), (0, 0)))
+        hid0 = jnp.pad(hid0, ((0, pad), (0, 0)))
+    Bp = x_proj.shape[0]
+
+    x_proj_t = jnp.transpose(x_proj, (1, 0, 2))
+    mask_t = jnp.broadcast_to(jnp.transpose(mask)[..., None], (T, Bp, 128))
+    peep = lambda v: v.reshape(1, H).astype(jnp.float32)  # noqa: E731
+    kernel = functools.partial(_lstm_peep_kernel, H=H)
+    const = lambda b, t: (0, 0)  # noqa: E731
+    out = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((T, Bp, H), jnp.float32),
+        grid=(Bp // block_b, T),
+        in_specs=[
+            pl.BlockSpec((1, block_b, 4 * H), lambda b, t: (t, b, 0)),
+            pl.BlockSpec((H, 4 * H), const),
+            pl.BlockSpec((1, block_b, 128), lambda b, t: (t, b, 0)),
+            pl.BlockSpec((block_b, H), lambda b, t: (b, 0)),
+            pl.BlockSpec((block_b, H), lambda b, t: (b, 0)),
+            pl.BlockSpec((1, H), const),
+            pl.BlockSpec((1, H), const),
+            pl.BlockSpec((1, H), const),
+        ],
+        out_specs=pl.BlockSpec((1, block_b, H), lambda b, t: (t, b, 0)),
+        scratch_shapes=[
+            pltpu.VMEM((block_b, H), jnp.float32),
+            pltpu.VMEM((block_b, H), jnp.float32),
+        ],
+        interpret=interpret,
+    )(x_proj_t, w_hid, mask_t, cell0, hid0, peep(w_ci), peep(w_cf), peep(w_co))
+    return jnp.transpose(out, (1, 0, 2))[:B]
+
+
+def _lstm_peep_train_kernel(x_proj_ref, w_hid_ref, mask_ref, cell0_ref,
+                            hid0_ref, wci_ref, wcf_ref, wco_ref, out_ref,
+                            cells_ref, gates_ref, cell_scr, hid_scr, *, H: int):
+    """Peephole forward emitting the custom-VJP residuals (post-mask cells +
+    PRE-peephole gate pre-activations)."""
+    t = pl.program_id(1)
+
+    @pl.when(t == 0)
+    def _init():
+        cell_scr[...] = cell0_ref[...]
+        hid_scr[...] = hid0_ref[...]
+
+    cell_prev = cell_scr[...]
+    hid_prev = hid_scr[...]
+
+    gates = x_proj_ref[0] + jnp.dot(
+        hid_prev.astype(w_hid_ref.dtype), w_hid_ref[...],
+        preferred_element_type=jnp.float32,
+    )
+    ingate = jax.nn.sigmoid(gates[:, 0 * H : 1 * H] + cell_prev * wci_ref[...])
+    forgetgate = jax.nn.sigmoid(gates[:, 1 * H : 2 * H] + cell_prev * wcf_ref[...])
+    cell_input = jnp.tanh(gates[:, 2 * H : 3 * H])
+    cell = forgetgate * cell_prev + ingate * cell_input
+    outgate = jax.nn.sigmoid(gates[:, 3 * H : 4 * H] + cell * wco_ref[...])
+    hid = outgate * jnp.tanh(cell)
+
+    m = mask_ref[0][:, 0:1]
+    cell = m * cell + (1.0 - m) * cell_prev
+    hid = m * hid + (1.0 - m) * hid_prev
+
+    cell_scr[...] = cell
+    hid_scr[...] = hid
+    out_ref[0] = hid
+    cells_ref[0] = cell
+    gates_ref[0] = gates
+
+
+def lstm_pallas_peep_train(x_proj_t, w_hid, mask_t, cell0, hid0, w_ci, w_cf,
+                           w_co, *, block_b: int = 128, interpret: bool = False):
+    """Peephole twin of :func:`lstm_pallas_train`; returns
+    ``(hids, cells, gates_pre)`` time-major."""
+    T, B, H4 = x_proj_t.shape
+    H = H4 // 4
+    block_b = min(block_b, B)
+    if B % block_b != 0:
+        pad = block_b - B % block_b
+        x_proj_t = jnp.pad(x_proj_t, ((0, 0), (0, pad), (0, 0)))
+        mask_t = jnp.pad(mask_t, ((0, 0), (0, pad), (0, 0)))
+        cell0 = jnp.pad(cell0, ((0, pad), (0, 0)))
+        hid0 = jnp.pad(hid0, ((0, pad), (0, 0)))
+    Bp = x_proj_t.shape[1]
+
+    mask_l = jnp.broadcast_to(mask_t, (T, Bp, 128))
+    peep = lambda v: v.reshape(1, H).astype(jnp.float32)  # noqa: E731
+    const = lambda b, t: (0, 0)  # noqa: E731
+    kernel = functools.partial(_lstm_peep_train_kernel, H=H)
+    hids, cells, gates = pl.pallas_call(
+        kernel,
+        out_shape=(
+            jax.ShapeDtypeStruct((T, Bp, H), jnp.float32),
+            jax.ShapeDtypeStruct((T, Bp, H), jnp.float32),
+            jax.ShapeDtypeStruct((T, Bp, 4 * H), jnp.float32),
+        ),
+        grid=(Bp // block_b, T),
+        in_specs=[
+            pl.BlockSpec((1, block_b, 4 * H), lambda b, t: (t, b, 0)),
+            pl.BlockSpec((H, 4 * H), const),
+            pl.BlockSpec((1, block_b, 128), lambda b, t: (t, b, 0)),
+            pl.BlockSpec((block_b, H), lambda b, t: (b, 0)),
+            pl.BlockSpec((block_b, H), lambda b, t: (b, 0)),
+            pl.BlockSpec((1, H), const),
+            pl.BlockSpec((1, H), const),
+            pl.BlockSpec((1, H), const),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, block_b, H), lambda b, t: (t, b, 0)),
+            pl.BlockSpec((1, block_b, H), lambda b, t: (t, b, 0)),
+            pl.BlockSpec((1, block_b, 4 * H), lambda b, t: (t, b, 0)),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((block_b, H), jnp.float32),
+            pltpu.VMEM((block_b, H), jnp.float32),
+        ],
+        interpret=interpret,
+    )(x_proj_t, w_hid, mask_l, cell0, hid0, peep(w_ci), peep(w_cf), peep(w_co))
+    if Bp != B:
+        hids, cells, gates = hids[:, :B], cells[:, :B], gates[:, :B]
+    return hids, cells, gates
+
+
+def _lstm_peep_bwd_kernel(g_out_ref, gates_ref, cells_ref, cells_prev_ref,
+                          mask_ref, w_hid_t_ref, wci_ref, wcf_ref, wco_ref,
+                          dgates_ref, dcell0_ref, dhid0_ref, dwci_ref,
+                          dwcf_ref, dwco_ref, dcell_scr, dhid_scr, wci_scr,
+                          wcf_scr, wco_scr, *, H: int, T: int, clip: float):
+    """Peephole reverse-time chain.  On top of the non-peephole kernel:
+    the gate activations are recomputed WITH the peephole adds, the cell
+    cotangent picks up the in/forget peephole routes, and the three (H,)
+    peephole gradients accumulate in VMEM scratch as per-row partial sums
+    (reduced to vectors outside the kernel) — peephole grads use the
+    UNCLIPPED gate cotangents, exactly like ops/lstm._lstm_core_peep_bwd."""
+    t = pl.program_id(1)
+
+    @pl.when(t == 0)
+    def _init():
+        dcell_scr[...] = jnp.zeros_like(dcell_scr)
+        dhid_scr[...] = jnp.zeros_like(dhid_scr)
+        wci_scr[...] = jnp.zeros_like(wci_scr)
+        wcf_scr[...] = jnp.zeros_like(wcf_scr)
+        wco_scr[...] = jnp.zeros_like(wco_scr)
+
+    dcell_next = dcell_scr[...]
+    dhid_next = dhid_scr[...]
+
+    go = g_out_ref[0]
+    gates = gates_ref[0]
+    cell_t = cells_ref[0]
+    cell_prev = cells_prev_ref[0]
+    m = mask_ref[0][:, 0:1]
+    w_ci = wci_ref[...]
+    w_cf = wcf_ref[...]
+    w_co = wco_ref[...]
+
+    dhid_total = go + dhid_next
+    dhid_cand = m * dhid_total
+    dcell_cand = m * dcell_next
+    i = jax.nn.sigmoid(gates[:, :H] + cell_prev * w_ci)
+    f = jax.nn.sigmoid(gates[:, H : 2 * H] + cell_prev * w_cf)
+    c_in = jnp.tanh(gates[:, 2 * H : 3 * H])
+    o = jax.nn.sigmoid(gates[:, 3 * H :] + cell_t * w_co)
+    tc = jnp.tanh(cell_t)
+    do_pre = dhid_cand * tc * o * (1.0 - o)
+    dcell_cand = (dcell_cand + dhid_cand * o * (1.0 - tc * tc)
+                  + do_pre * w_co)
+    di_pre = dcell_cand * c_in * i * (1.0 - i)
+    df_pre = dcell_cand * cell_prev * f * (1.0 - f)
+    dgc = dcell_cand * i * (1.0 - c_in * c_in)
+
+    wci_scr[...] = wci_scr[...] + di_pre * cell_prev
+    wcf_scr[...] = wcf_scr[...] + df_pre * cell_prev
+    wco_scr[...] = wco_scr[...] + do_pre * cell_t
+
+    dgates = jnp.concatenate([di_pre, df_pre, dgc, do_pre], axis=-1)
+    if clip:
+        dgates = jnp.clip(dgates, -clip, clip)
+
+    dhid_prev = jnp.dot(
+        dgates.astype(w_hid_t_ref.dtype), w_hid_t_ref[...],
+        preferred_element_type=jnp.float32,
+    ) + (1.0 - m) * dhid_total
+    dcell_prev = (dcell_cand * f + di_pre * w_ci + df_pre * w_cf
+                  + (1.0 - m) * dcell_next)
+
+    dcell_scr[...] = dcell_prev
+    dhid_scr[...] = dhid_prev
+    dgates_ref[0] = dgates
+    dcell0_ref[...] = dcell_prev
+    dhid0_ref[...] = dhid_prev
+    dwci_ref[...] = wci_scr[...]
+    dwcf_ref[...] = wcf_scr[...]
+    dwco_ref[...] = wco_scr[...]
+
+
+def lstm_pallas_peep_bwd_chain(g_out_t, gates_pre, cells, cells_prev, mask_t,
+                               w_hid, w_ci, w_cf, w_co, clip: float, *,
+                               block_b: int = 128, interpret: bool = False):
+    """Peephole backward chain.  Returns ``(dgates, dcell0, dhid0, dw_ci,
+    dw_cf, dw_co)`` with the peephole grads already reduced to (H,)."""
+    T, B, H = cells.shape
+    block_b = min(block_b, B)
+    if B % block_b != 0:
+        pad = block_b - B % block_b
+        g_out_t = jnp.pad(g_out_t, ((0, 0), (0, pad), (0, 0)))
+        gates_pre = jnp.pad(gates_pre, ((0, 0), (0, pad), (0, 0)))
+        cells = jnp.pad(cells, ((0, 0), (0, pad), (0, 0)))
+        cells_prev = jnp.pad(cells_prev, ((0, 0), (0, pad), (0, 0)))
+        mask_t = jnp.pad(mask_t, ((0, 0), (0, pad), (0, 0)))
+    Bp = g_out_t.shape[1]
+
+    mask_l = jnp.broadcast_to(mask_t, (T, Bp, 128))
+    rev = lambda b, t: (T - 1 - t, b, 0)  # noqa: E731
+    const = lambda b, t: (0, 0)  # noqa: E731
+    peep = lambda v: v.reshape(1, H).astype(jnp.float32)  # noqa: E731
+    kernel = functools.partial(_lstm_peep_bwd_kernel, H=H, T=T,
+                               clip=float(clip or 0.0))
+    dgates, dcell0, dhid0, dwci, dwcf, dwco = pl.pallas_call(
+        kernel,
+        out_shape=(
+            jax.ShapeDtypeStruct((T, Bp, 4 * H), jnp.float32),
+            jax.ShapeDtypeStruct((Bp, H), jnp.float32),
+            jax.ShapeDtypeStruct((Bp, H), jnp.float32),
+            jax.ShapeDtypeStruct((Bp, H), jnp.float32),
+            jax.ShapeDtypeStruct((Bp, H), jnp.float32),
+            jax.ShapeDtypeStruct((Bp, H), jnp.float32),
+        ),
+        grid=(Bp // block_b, T),
+        in_specs=[
+            pl.BlockSpec((1, block_b, H), rev),
+            pl.BlockSpec((1, block_b, 4 * H), rev),
+            pl.BlockSpec((1, block_b, H), rev),
+            pl.BlockSpec((1, block_b, H), rev),
+            pl.BlockSpec((1, block_b, 128), rev),
+            pl.BlockSpec((4 * H, H), const),
+            pl.BlockSpec((1, H), const),
+            pl.BlockSpec((1, H), const),
+            pl.BlockSpec((1, H), const),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, block_b, 4 * H), rev),
+            pl.BlockSpec((block_b, H), lambda b, t: (b, 0)),
+            pl.BlockSpec((block_b, H), lambda b, t: (b, 0)),
+            pl.BlockSpec((block_b, H), lambda b, t: (b, 0)),
+            pl.BlockSpec((block_b, H), lambda b, t: (b, 0)),
+            pl.BlockSpec((block_b, H), lambda b, t: (b, 0)),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((block_b, H), jnp.float32),
+            pltpu.VMEM((block_b, H), jnp.float32),
+            pltpu.VMEM((block_b, H), jnp.float32),
+            pltpu.VMEM((block_b, H), jnp.float32),
+            pltpu.VMEM((block_b, H), jnp.float32),
+        ],
+        interpret=interpret,
+    )(g_out_t, gates_pre, cells, cells_prev, mask_l, w_hid.T,
+      peep(w_ci), peep(w_cf), peep(w_co))
+    # per-row partial sums -> (H,) vectors (pad rows contributed zeros:
+    # their mask is zero so dhid_cand/dcell_cand vanish)
+    return (dgates[:, :B], dcell0[:B], dhid0[:B],
+            dwci.sum(axis=0), dwcf.sum(axis=0), dwco.sum(axis=0))
+
+
 def should_use_pallas_train(B: int, T: int, H: int, dtype_bytes: int = 4) -> bool:
     """Dispatch heuristic for the training-path kernels: TPU backend and the
     per-step working set (w_hid + x_proj/gates blocks + scratch, double
@@ -336,9 +656,9 @@ def should_use_pallas_train(B: int, T: int, H: int, dtype_bytes: int = 4) -> boo
 def lstm_forward_pallas(params, x, mask, backwards: bool = False,
                         matmul_dtype=jnp.bfloat16, block_b: int = 256,
                         interpret: bool = False):
-    """Drop-in (inference-only) replacement for ops/lstm.lstm_forward for
-    non-peephole models: the big input projection stays a plain XLA matmul,
-    the recurrence runs in the Pallas kernel."""
+    """Drop-in (inference-only) replacement for ops/lstm.lstm_forward:
+    the big input projection stays a plain XLA matmul, the recurrence runs
+    in the Pallas kernel (peephole models use the peephole kernel)."""
     B, T, D = x.shape
     H = params["w_hid"].shape[0]
     if mask is None:
@@ -362,6 +682,13 @@ def lstm_forward_pallas(params, x, mask, backwards: bool = False,
     cell0 = jnp.broadcast_to(params["cell_init"], (B, H)).astype(jnp.float32)
     hid0 = jnp.broadcast_to(params["hid_init"], (B, H)).astype(jnp.float32)
 
-    out = lstm_pallas(x_proj, w_hid, mask, cell0, hid0, block_b=block_b,
-                      interpret=interpret)
+    if "w_cell_to_ingate" in params:
+        out = lstm_pallas_peep(x_proj, w_hid, mask, cell0, hid0,
+                               params["w_cell_to_ingate"],
+                               params["w_cell_to_forgetgate"],
+                               params["w_cell_to_outgate"],
+                               block_b=block_b, interpret=interpret)
+    else:
+        out = lstm_pallas(x_proj, w_hid, mask, cell0, hid0, block_b=block_b,
+                          interpret=interpret)
     return jnp.flip(out, axis=1) if backwards else out

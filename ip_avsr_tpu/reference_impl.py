@@ -8,9 +8,11 @@ Two purposes:
      measures a CPU implementation equivalent to what Theano compiled:
      BLAS matmuls plus per-timestep recurrence loops.
 
-Supports the composer topologies used by the flagship benchmarks (encoders,
-delta, per-stream LSTMs, sum fusion, BLSTM aggregator, per-step or last-step
-softmax).  No dropout/batch-norm (inference path).
+Supports every composer topology in the zoo (encoders, batch norm, delta,
+per-stream LSTMs, sum/concat/adasum fusion, uni/bi aggregator stacks,
+per-step or last-step softmax) plus the tied-weight conv-AE.  Dropout is
+never applied (train=True here means "batch-norm uses minibatch statistics",
+for checking the BN training path against dropout-free configs).
 """
 
 from __future__ import annotations
@@ -93,8 +95,25 @@ def lstm_forward_np(p: dict, x: np.ndarray, mask: np.ndarray,
     return outs[:, ::-1] if backwards else outs
 
 
-def adenet_forward_np(params: dict, config, inputs, mask) -> np.ndarray:
-    """NumPy replica of models/adenet.adenet_forward (inference)."""
+def batch_norm_np(bn: dict, state: dict, x: np.ndarray, train: bool,
+                  eps: float = 1e-4) -> np.ndarray:
+    """ops/normalization.batch_norm_forward replica: normalize over all
+    leading axes with minibatch stats (train) or the running averages."""
+    feat = x.shape[-1]
+    flat = x.reshape(-1, feat)
+    if train:
+        mean, var = flat.mean(axis=0), flat.var(axis=0)
+    else:
+        mean, var = np.asarray(state["mean"]), np.asarray(state["var"])
+    y = ((flat - mean) / np.sqrt(var + eps) * np.asarray(bn["gamma"])
+         + np.asarray(bn["beta"]))
+    return y.reshape(x.shape)
+
+
+def adenet_forward_np(params: dict, config, inputs, mask,
+                      train: bool = False) -> np.ndarray:
+    """NumPy replica of models/adenet.adenet_forward (no dropout; ``train``
+    selects batch-norm minibatch statistics)."""
     B, T = inputs[0].shape[:2]
     mask = np.asarray(mask, np.float32)
     stream_outs = []
@@ -105,6 +124,8 @@ def adenet_forward_np(params: dict, config, inputs, mask) -> np.ndarray:
             flat = x.reshape(B * T, spec.input_dim)
             x = encoder_forward_np(sp["encoder"], flat,
                                    spec.encoder_nonlinearities).reshape(B, T, -1)
+        if spec.use_batchnorm:
+            x = batch_norm_np(sp["bn"], sp["bn_state"], x, train)
         if spec.use_delta:
             x = append_delta_np(x, config.window)
         if spec.use_lstm:
@@ -137,3 +158,110 @@ def adenet_forward_np(params: dict, config, inputs, mask) -> np.ndarray:
     logits = agg[:, -1, :] @ w + b
     e = np.exp(logits - logits.max(axis=1, keepdims=True))
     return e / e.sum(axis=1, keepdims=True)
+
+
+# ---------------------------------------------------------------------------
+# Conv-AE (tied-weight decoder) NumPy replica — models/convae.py.
+# Encoder convs are valid cross-correlations; the tied deconvs are their
+# exact linear transposes, i.e. FULL convolutions with the same kernels
+# (what lax.conv_transpose(transpose_kernel=True) computes at stride 1).
+# Dropout never applied; BN uses batch statistics in both modes (matching
+# models/convae._bn, which deliberately has no running averages).
+# ---------------------------------------------------------------------------
+
+def _scaled_tanh_np(x, a=0.5, b=2.4):
+    return b * np.tanh(a * x)
+
+
+def _conv_valid_np(x, w, b):
+    """x (B, I, H, W) cross-correlated with w (O, I, kh, kw), valid —
+    sliding windows + einsum (no XLA anywhere)."""
+    from numpy.lib.stride_tricks import sliding_window_view
+
+    kh, kw = w.shape[2], w.shape[3]
+    win = sliding_window_view(x, (kh, kw), axis=(2, 3))  # (B,I,H',W',kh,kw)
+    out = np.einsum("bihwkl,oikl->bohw", win, w, optimize=True)
+    return (out + b[None, :, None, None]).astype(np.float32)
+
+
+def _deconv_full_np(h, w, b, crop_h=0):
+    """Transpose of :func:`_conv_valid_np`: FULL convolution mapping O->I
+    (full conv == valid cross-correlation of the zero-padded input with the
+    spatially flipped kernel)."""
+    from numpy.lib.stride_tricks import sliding_window_view
+
+    kh, kw = w.shape[2], w.shape[3]
+    hp = np.pad(h, ((0, 0), (0, 0), (kh - 1, kh - 1), (kw - 1, kw - 1)))
+    wf = w[:, :, ::-1, ::-1]
+    win = sliding_window_view(hp, (kh, kw), axis=(2, 3))  # (B,O,H+kh-1,...)
+    out = np.einsum("bohwkl,oikl->bihw", win, wf, optimize=True)
+    out = (out + b[None, :, None, None]).astype(np.float32)
+    if crop_h:
+        out = out[:, :, crop_h:-crop_h, :]
+    return out
+
+
+def _maxpool_np(x, pad_h=0):
+    if pad_h:
+        pad = np.full((x.shape[0], x.shape[1], pad_h, x.shape[3]), -np.inf,
+                      x.dtype)
+        x = np.concatenate([pad, x, pad], axis=2)
+    B, C, H, W = x.shape
+    return x[:, :, : H // 2 * 2, : W // 2 * 2].reshape(
+        B, C, H // 2, 2, W // 2, 2).max(axis=(3, 5))
+
+
+def _bn_np(x, p, eps=1e-4):
+    axes = tuple(i for i in range(x.ndim) if i != 1) if x.ndim > 2 else (0,)
+    mean = x.mean(axes, keepdims=True)
+    var = x.var(axes, keepdims=True)
+    shape = [1] * x.ndim
+    shape[-1 if x.ndim == 2 else 1] = -1
+    return ((x - mean) / np.sqrt(var + eps) * np.asarray(p["gamma"]).reshape(shape)
+            + np.asarray(p["beta"]).reshape(shape))
+
+
+def convae_forward_np(params: dict, config, x: np.ndarray) -> np.ndarray:
+    """NumPy replica of models/convae.convae_forward (no dropout)."""
+    p = {k: (jax_tree_to_np(v) if isinstance(v, dict) else np.asarray(v))
+         for k, v in params.items()}
+    B = x.shape[0]
+    f1, f2, f3 = config.filters
+    ch, cw = config.conv_out_shape()
+    h = np.asarray(x, np.float32).reshape(B, 1, *config.image_shape)
+
+    h = _conv_valid_np(h, p["conv1"]["w"], p["conv1"]["b"])
+    if config.use_batchnorm:
+        h = _bn_np(h, p["bn_conv1"])
+    h = _scaled_tanh_np(h)
+    h = _maxpool_np(h)
+    h = _conv_valid_np(h, p["conv3"]["w"], p["conv3"]["b"])
+    if config.use_batchnorm:
+        h = _bn_np(h, p["bn_conv3"])
+    h = _scaled_tanh_np(h)
+    h = _maxpool_np(h, pad_h=1)
+    h = _conv_valid_np(h, p["conv5"]["w"], p["conv5"]["b"])
+    if config.use_batchnorm:
+        h = _bn_np(h, p["bn_conv5"])
+    h = _scaled_tanh_np(h)
+    h = h.reshape(B, -1)
+    h = h @ p["dense7"]["w"] + p["dense7"]["b"]
+    if config.use_batchnorm:
+        h = _bn_np(h, p["bn_dense7"])
+    h = _scaled_tanh_np(h)
+    code = h @ p["bottleneck"]["w"] + p["bottleneck"]["b"]
+
+    h = code @ p["bottleneck"]["w"].T + p["dense8_b"]
+    h = _scaled_tanh_np(h @ p["dense7"]["w"].T + p["dense9_b"])
+    h = h.reshape(B, f3, ch, cw)
+    h = _scaled_tanh_np(_deconv_full_np(h, p["conv5"]["w"], p["deconv11_b"]))
+    h = np.repeat(np.repeat(h, 2, axis=2), 2, axis=3)
+    h = _scaled_tanh_np(_deconv_full_np(h, p["conv3"]["w"], p["deconv13_b"]))
+    h = np.repeat(np.repeat(h, 2, axis=2), 2, axis=3)
+    h = _scaled_tanh_np(_deconv_full_np(h, p["conv1"]["w"], p["deconv15_b"],
+                                        crop_h=1))
+    return h.reshape(B, -1)
+
+
+def jax_tree_to_np(tree):
+    return {k: np.asarray(v) for k, v in tree.items()}

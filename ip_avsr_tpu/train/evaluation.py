@@ -37,6 +37,30 @@ def evaluate_last_step(probs, y):
     return cr, confusion_matrix(y, preds, probs.shape[-1]), preds
 
 
+def confusion_on_device(preds, y, valid, num_classes: int):
+    """Confusion matrix as one one-hot matmul, entirely on device.
+
+    ``preds``/``y`` are (B,) int predictions/targets; ``valid`` (B,) float
+    0/1 excludes padded rows.  Returns a (C, C) float count matrix.  Under a
+    data-parallel or multi-host sharding the output is replicated — XLA
+    inserts the cross-shard psum — so every process can read identical
+    counts WITHOUT gathering the per-utterance predictions to any host
+    (the host gather is the part that cannot work multi-process: probs
+    shards on other hosts are not addressable)."""
+    import jax
+    import jax.numpy as jnp
+
+    oh_t = jax.nn.one_hot(y, num_classes) * valid[:, None]
+    oh_p = jax.nn.one_hot(preds, num_classes)
+    return jnp.einsum("bc,bd->cd", oh_t, oh_p)
+
+
+def cr_from_confusion(conf) -> float:
+    conf = np.asarray(conf)
+    total = conf.sum()
+    return float(np.trace(conf) / total) if total else 0.0
+
+
 def plot_confusion_matrix(cm, classnames, fmt: str = "pipe") -> str:
     """Render a confusion matrix as a markdown ('pipe') or LaTeX table —
     the reference's tabulate-based report (utils/plotting_utils.py:226-245)."""

@@ -106,6 +106,13 @@ class TrainOptions:
     # Requires use_mesh; on a single-process runtime it reduces to the same
     # sharded device_put as the plain path.
     multihost: bool = False
+    # evaluation entirely on device: predictions vote/argmax on device and
+    # only the replicated (C, C) confusion counts reach the host — no
+    # per-utterance gather.  REQUIRED (and auto-enabled) for multi-process
+    # multihost runs, where other processes' prediction shards are not
+    # addressable; also cuts eval d2h for big splits.  Identical counts to
+    # the host path (tested).
+    device_eval: bool = False
     # host-side batch assembly runs on a background thread (data/prefetch.py)
     # so gathering/padding the next batch overlaps device execution of the
     # current step; order- and exception-preserving, off switch for debugging
@@ -260,12 +267,31 @@ class Trainer:
             return self._forward(params, streams, mask, False,
                                  jax.random.PRNGKey(0))
 
+        def eval_confusion(params, streams, y, mask):
+            """Device-side eval: probs -> (vote|last-step) argmax ->
+            one-hot confusion counts, all sharded; output replicated."""
+            from ip_avsr_tpu.ops.voting import majority_voting_layer_masked
+
+            probs = predict(params, streams, mask)
+            C = self.config.output_classes
+            if self.config.output_mode == "per_step":
+                scores = majority_voting_layer_masked(probs, mask, C)
+            else:
+                scores = probs
+            preds = jnp.argmax(scores, axis=-1)
+            valid = (jnp.sum(mask, axis=1) > 0).astype(jnp.float32)
+            return evaluation.confusion_on_device(preds, y, valid, C)
+
         if self.mesh is not None and self.options.mesh_mode == "shard_map":
             self._build_shard_map_steps()
         else:
             self.train_step = jax.jit(train_step, donate_argnums=(0, 1))
             self.eval_cost = jax.jit(eval_cost)
             self.predict = jax.jit(predict)
+        # device-side eval is a plain gspmd jit in every mode (its one-hot
+        # confusion matmul reduces to a replicated (C, C) output)
+        self.eval_confusion = jax.jit(eval_confusion)
+        self._eval_confusion_raw = eval_confusion
         # unjitted bodies, for fusing an on-device gather in front
         # (device_data) and for re-jitting with explicit tensor-parallel
         # shardings once the parameter tree exists (_setup_tensor_parallel)
@@ -392,6 +418,10 @@ class Trainer:
             self._predict_raw,
             in_shardings=(param_sh, [batch_sh] * n, batch_sh),
             out_shardings=batch_sh)
+        self.eval_confusion = jax.jit(
+            self._eval_confusion_raw,
+            in_shardings=(param_sh, [batch_sh] * n, batch_sh, batch_sh),
+            out_shardings=rep)
         self._param_sh, self._opt_sh = param_sh, opt_sh
         return (jax.device_put(params, param_sh),
                 jax.device_put(opt_state, opt_sh))
@@ -471,6 +501,9 @@ class Trainer:
         dataset sizes, not for production-scale ones).
         """
         n = len(mask)
+        if self.options.device_eval or jax.process_count() > 1:
+            return self._evaluate_on_device(params, streams, y, mask,
+                                            eval_batchsize)
         if n > eval_batchsize:
             chunks = []
             for start in range(0, n, eval_batchsize):
@@ -497,6 +530,32 @@ class Trainer:
             cr, conf, preds = evaluation.evaluate_last_step(
                 np.asarray(probs)[valid], np.asarray(y)[valid])
         return cr, conf
+
+    def _evaluate_on_device(self, params, streams, y, mask,
+                            eval_batchsize: int = 512):
+        """Whole-split evaluation without gathering predictions to the host:
+        chunks run through the jitted device-side vote+confusion, only the
+        replicated (C, C) counts come back.  The multi-process path REQUIRES
+        this (other hosts' prediction shards are not addressable); it is
+        also the cheap path for production-scale splits (d2h per chunk is
+        C*C floats instead of B*T*C probabilities)."""
+        n = len(mask)
+        C = self.config.output_classes
+        conf = np.zeros((C, C), np.float64)
+        for start in range(0, n, eval_batchsize):
+            sl = slice(start, start + eval_batchsize)
+            pad_to = eval_batchsize if n > eval_batchsize else None
+            arrays, _ = mesh_lib.pad_batch_to_multiple(
+                [np.asarray(s[sl]) for s in streams]
+                + [np.asarray(mask)[sl], np.asarray(y)[sl]],
+                pad_to or len(np.asarray(mask)[sl]))
+            sub, sub_mask, sub_y = arrays[:-2], arrays[-2], arrays[-1]
+            dev_streams, dev_y, dev_mask = self._device_batch(sub, sub_y,
+                                                              sub_mask)
+            conf += np.asarray(self.eval_confusion(params, dev_streams,
+                                                   dev_y, dev_mask))
+        cr = evaluation.cr_from_confusion(conf)
+        return cr, conf.astype(np.int64)
 
     # -- the loop -----------------------------------------------------------
 

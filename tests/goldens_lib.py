@@ -1,0 +1,96 @@
+"""Golden-fixture computation: frozen (seeds -> outputs) for the zoo and the
+preprocessing chain.
+
+VERDICT r2 gap 5: accuracy parity rested on two implementations that both
+live in this repo plus formula tests — nothing pinned *today's* numerics
+against *tomorrow's* refactor.  These fixtures freeze the outputs of every
+zoo forward, the conv-AE family, and the whole preprocessing chain under
+fixed seeds; ``tests/test_goldens.py`` recomputes them each run and compares
+against the committed ``tests/goldens/goldens.npz``.  A refactor that
+changes numerics now fails CI on its own, without ``reference_impl.py``
+having to disagree.
+
+Regenerate (ONLY after an intentional numerics change, with the parity
+suite green): ``python scripts/make_goldens.py``.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+GOLDEN_PATH = __file__.rsplit("/", 1)[0] + "/goldens/goldens.npz"
+
+
+def compute_zoo_goldens() -> dict:
+    import jax
+    import jax.numpy as jnp
+
+    from ip_avsr_tpu.models import adenet, convae
+    from tests.zoo_cases import ZOO_CASES
+
+    out = {}
+    for name in sorted(ZOO_CASES):
+        cfg = ZOO_CASES[name]()
+        params = adenet.init_adenet_params(jax.random.PRNGKey(3), cfg)
+        rng = np.random.RandomState(0)
+        B, T = 3, 9
+        inputs = [jnp.asarray(rng.randn(B, T, s.input_dim).astype(np.float32))
+                  for s in cfg.streams]
+        lens = rng.randint(4, T + 1, B)
+        mask = jnp.asarray((np.arange(T)[None, :] < lens[:, None])
+                           .astype(np.float32))
+        out[f"zoo/{name}"] = np.asarray(
+            adenet.adenet_forward(params, cfg, inputs, mask, train=False))
+
+    for bn, drop in ((False, False), (True, False), (False, True), (True, True)):
+        cfg = convae.ConvAEConfig(bottleneck=10, dense=20, use_batchnorm=bn,
+                                  use_dropout=drop)
+        params = convae.init_convae_params(jax.random.PRNGKey(5), cfg)
+        x = jnp.asarray(np.random.RandomState(0).randn(2, 30 * 40)
+                        .astype(np.float32))
+        out[f"convae/bn{int(bn)}_drop{int(drop)}"] = np.asarray(
+            convae.convae_forward(params, cfg, x, train=False))
+    return out
+
+
+def compute_preprocessing_goldens() -> dict:
+    from ip_avsr_tpu.data import preprocessing as pp
+
+    rng = np.random.RandomState(7)
+    seqlens = np.array([9, 6, 12])  # multiples of the embed step (reference factorize()-s first)
+    X = rng.randn(int(seqlens.sum()), 24).astype(np.float32)
+    img = (rng.rand(int(seqlens.sum()), 30 * 40) * 255).astype(np.float32)
+
+    out = {
+        "pp/deltas_python_ref": pp.deltas(X.T, 9).astype(np.float32),
+        "pp/deltas_matlab": pp.deltas(X.T, 9, pad_mode="matlab").astype(np.float32),
+        "pp/concat_first_second_deltas":
+            pp.concat_first_second_deltas(X, seqlens, w=9).astype(np.float32),
+        "pp/diff_images": pp.compute_diff_images(img, seqlens).astype(np.float32),
+        "pp/normalize_input": pp.normalize_input(img).astype(np.float32),
+        "pp/seqwise_mean_sub":
+            pp.sequencewise_mean_image_subtraction(img, seqlens).astype(np.float32),
+        "pp/zigzag": pp.zigzag(img[0].reshape(30, 40, order="F")).astype(np.float32),
+        "pp/reorder_f_to_c": pp.reorder_data(img[:4], (30, 40)).astype(np.float32),
+        "pp/zca": pp.zca_whiten(img[:8] / 255.0).astype(np.float32),
+    }
+    fn, mean, std = pp.featurewise_normalize_sequence(img)
+    out["pp/featurewise_norm"] = fn.astype(np.float32)
+    out["pp/featurewise_mean"] = mean.astype(np.float32)
+    out["pp/featurewise_std"] = std.astype(np.float32)
+    for method in ("zigzag", "rel_variance", "variance", "energy"):
+        out[f"pp/dct_{method}"] = pp.compute_dct_features(
+            img[:5], (30, 40), no_coeff=30, method=method).astype(np.float32)
+    targets = rng.randint(0, 5, len(X)).astype(np.int64)
+    emb, emb_t, emb_len = pp.embed_temporal_info(X, targets, seqlens, 3, 3)
+    out["pp/embed_temporal"] = np.asarray(emb, np.float32)
+    out["pp/embed_temporal_targets"] = np.asarray(emb_t)
+    out["pp/embed_temporal_lens"] = np.asarray(emb_len)
+    return out
+
+
+def compute_all() -> dict:
+    out = {}
+    out.update(compute_zoo_goldens())
+    out.update(compute_preprocessing_goldens())
+    return out

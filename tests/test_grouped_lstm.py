@@ -264,3 +264,87 @@ def test_custom_vjp_grad_dtypes_match_params(peep):
     g = jax.grad(lambda p: jnp.sum(lstm_ops.lstm_forward(p, x, mask)))(params)
     for k in params:
         assert g[k].dtype == params[k].dtype, (k, g[k].dtype, params[k].dtype)
+
+
+def test_pallas_peep_inference_kernel_interpret_matches_scan():
+    """Peephole Pallas inference recurrence (interpret mode) == XLA scan."""
+    from ip_avsr_tpu.ops.pallas import lstm_kernel
+
+    params = lstm.init_lstm_params(jax.random.PRNGKey(0), 7, 6,
+                                   use_peepholes=True)
+    x = jnp.asarray(np.random.RandomState(3).randn(5, 9, 7).astype(np.float32))
+    mask = np.ones((5, 9), np.float32)
+    mask[2, 5:] = 0
+    mask = jnp.asarray(mask)
+    for bwd in (False, True):
+        ref = lstm.lstm_forward(params, x, mask, backwards=bwd)
+        got = lstm_kernel.lstm_forward_pallas(params, x, mask, backwards=bwd,
+                                              matmul_dtype=None, block_b=5,
+                                              interpret=True)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-6)
+
+
+def test_pallas_peep_train_kernels_interpret_match_autodiff(monkeypatch):
+    """Force the peephole train/backward Pallas kernels (interpret mode)
+    through the custom-VJP core; values and every gradient — including the
+    three peephole vectors — must match plain autodiff."""
+    import functools
+
+    from ip_avsr_tpu.ops.pallas import lstm_kernel
+
+    monkeypatch.setattr(lstm, "_pallas_train_ok", lambda B, T, H: True)
+    monkeypatch.setattr(
+        lstm_kernel, "lstm_pallas_peep_train",
+        functools.partial(lstm_kernel.lstm_pallas_peep_train, block_b=4,
+                          interpret=True))
+    monkeypatch.setattr(
+        lstm_kernel, "lstm_pallas_peep_bwd_chain",
+        functools.partial(lstm_kernel.lstm_pallas_peep_bwd_chain, block_b=4,
+                          interpret=True))
+    monkeypatch.setattr(
+        lstm_kernel, "lstm_pallas_peep",
+        functools.partial(lstm_kernel.lstm_pallas_peep, block_b=4,
+                          interpret=True))
+    # the non-peephole kernels get forced too by the _pallas_train_ok patch
+    monkeypatch.setattr(
+        lstm_kernel, "lstm_pallas_train",
+        functools.partial(lstm_kernel.lstm_pallas_train, block_b=4,
+                          interpret=True))
+    monkeypatch.setattr(
+        lstm_kernel, "lstm_pallas_bwd_chain",
+        functools.partial(lstm_kernel.lstm_pallas_bwd_chain, block_b=4,
+                          interpret=True))
+    monkeypatch.setattr(
+        lstm_kernel, "lstm_pallas",
+        functools.partial(lstm_kernel.lstm_pallas, block_b=4, interpret=True))
+
+    rng = np.random.RandomState(0)
+    B, T, D, H = 6, 8, 7, 6
+    x = jnp.asarray(rng.randn(B, T, D).astype(np.float32))
+    lens = rng.randint(T // 2, T + 1, B)
+    mask = jnp.asarray((np.arange(T)[None, :] < lens[:, None]).astype(np.float32))
+    gseed = jnp.asarray(rng.randn(B, T, H).astype(np.float32))
+
+    for peep in (True, False):
+        params = lstm.init_lstm_params(jax.random.PRNGKey(1), D, H,
+                                       use_peepholes=peep)
+        for bwd in (False, True):
+            a = lstm.lstm_forward(params, x, mask, backwards=bwd,
+                                  use_custom_vjp=True)
+            b = lstm.lstm_forward(params, x, mask, backwards=bwd,
+                                  use_custom_vjp=False)
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-5, atol=1e-6,
+                                       err_msg=f"peep={peep} bwd={bwd}")
+
+            def loss(p, custom):
+                out = lstm.lstm_forward(p, x, mask, backwards=bwd,
+                                        use_custom_vjp=custom)
+                return jnp.sum(out * gseed)
+
+            ga = jax.grad(lambda p: loss(p, True))(params)
+            gb = jax.grad(lambda p: loss(p, False))(params)
+            for k in ga:
+                np.testing.assert_allclose(
+                    np.asarray(ga[k]), np.asarray(gb[k]), rtol=1e-4,
+                    atol=1e-5, err_msg=f"{k} peep={peep} bwd={bwd}")

@@ -279,3 +279,38 @@ def test_trainer_model_parallel_fit_composes(tmp_path):
     res2 = tr2.fit(([X], y, lens), ([Xv], yv, lensv), ([Xv], yv, lensv))
     assert res2.epochs_run == 5
     assert np.isfinite(res2.cost_val).all()
+
+
+def test_device_eval_matches_host_eval():
+    """TrainOptions(device_eval=True): the on-device vote+confusion path
+    returns identical CR and confusion counts to the host-gather path, for
+    both head types, chunked and unchunked, with and without a mesh."""
+    from ip_avsr_tpu.train.trainer import Trainer, TrainOptions
+
+    rng = np.random.RandomState(0)
+    n, T = 21, 7
+    for output_mode in ("per_step", "last_step"):
+        if output_mode == "per_step":
+            cfg = zoo.lstm_classifier_majority_vote(10, lstm_size=8,
+                                                    output_classes=4)
+        else:
+            cfg = zoo.lstm_classifier_baseline(10, lstm_size=8,
+                                               output_classes=4)
+        params = adenet.init_adenet_params(jax.random.PRNGKey(0), cfg)
+        x = rng.randn(n, T, 10).astype(np.float32)
+        lens = rng.randint(3, T + 1, n)
+        mask = (np.arange(T)[None, :] < lens[:, None]).astype(np.float32)
+        y = rng.randint(0, 4, n).astype(np.int32)
+
+        for mesh_kw in ({}, {"use_mesh": True}):
+            host = Trainer(cfg, TrainOptions(log_fn=lambda *_: None,
+                                             optimizer="momentum", **mesh_kw))
+            dev = Trainer(cfg, TrainOptions(log_fn=lambda *_: None,
+                                            optimizer="momentum",
+                                            device_eval=True, **mesh_kw))
+            cr_h, conf_h = host.evaluate(params, [x], y, mask)
+            for bs in (512, 8):  # unchunked and chunked
+                cr_d, conf_d = dev.evaluate(params, [x], y, mask,
+                                            eval_batchsize=bs)
+                assert cr_d == cr_h, (output_mode, mesh_kw, bs)
+                np.testing.assert_array_equal(conf_d, conf_h)

@@ -160,3 +160,29 @@ def test_bucketed_server_rejects_overlong_requests():
     np.testing.assert_allclose(
         scores, np.asarray(exact([x[:, :5]], np.array([5, 5]))),
         rtol=1e-5, atol=1e-6)
+
+
+def test_pipelined_server_matches_sync_and_preserves_order():
+    """PipelinedServer yields the same scores as the synchronous server, in
+    submission order, for any pipeline depth (including depth > n_requests)."""
+    from ip_avsr_tpu import serve as serve_lib
+
+    cfg = zoo.lstm_classifier_majority_vote(10, lstm_size=8, output_classes=4)
+    params = adenet.init_adenet_params(jax.random.PRNGKey(0), cfg)
+    sync = serve_lib.make_server(params, cfg)
+    rng = np.random.RandomState(0)
+    reqs = []
+    for i in range(7):
+        x = rng.randn(1, 6, 10).astype(np.float32)
+        mask = np.ones((1, 6), np.float32)
+        mask[0, 4 + (i % 2):] = 0.0
+        reqs.append(([x], mask))
+    want = [np.asarray(sync([jnp.asarray(s) for s in st], jnp.asarray(m)))
+            for st, m in reqs]
+
+    for depth in (1, 3, 16):
+        pipe = serve_lib.PipelinedServer(params, cfg, depth=depth)
+        got = list(pipe.map(iter(reqs)))
+        assert len(got) == len(want)
+        for g, w in zip(got, want):
+            np.testing.assert_allclose(g, w, rtol=1e-6, atol=1e-7)

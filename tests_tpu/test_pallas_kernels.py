@@ -132,3 +132,58 @@ def test_lstm_train_kernels_dispatch_and_match_on_tpu():
             scale = np.max(np.abs(bb)) + 1e-12
             np.testing.assert_allclose(a / scale, bb / scale, rtol=0, atol=1e-3,
                                        err_msg=f"{k} bwd={bwd}")
+
+
+def test_lstm_peep_kernel_matches_scan_on_tpu():
+    """Peephole inference kernel (the reference-default configuration,
+    custom/layers.py:10 use_peepholes) vs the XLA scan on real hardware."""
+    rng = np.random.RandomState(0)
+    B, T, D, H = 8, 12, 64, 128
+    params = lstm_ops.init_lstm_params(jax.random.PRNGKey(0), D, H,
+                                       use_peepholes=True)
+    x = jnp.asarray(rng.randn(B, T, D).astype(np.float32))
+    lens = rng.randint(T // 2, T + 1, B)
+    mask = jnp.asarray((np.arange(T)[None, :] < lens[:, None]).astype(np.float32))
+    for bwd in (False, True):
+        got = lstm_kernel.lstm_forward_pallas(params, x, mask, backwards=bwd,
+                                              matmul_dtype=None)
+        want = lstm_ops.lstm_forward(params, x, mask, backwards=bwd,
+                                     matmul_dtype=None)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=2e-5, atol=2e-5)
+
+
+def test_lstm_peep_train_kernels_dispatch_and_match_on_tpu():
+    """Training-path peephole kernels (residual-emitting forward + backward
+    chain with in-scratch peephole-gradient accumulators): values and every
+    gradient — including w_cell_to_* — must match pure-XLA autodiff."""
+    rng = np.random.RandomState(0)
+    B, T, D, H = 128, 16, 64, 128
+    assert lstm_kernel.should_use_pallas_train(B, T, H)
+    params = lstm_ops.init_lstm_params(jax.random.PRNGKey(0), D, H,
+                                       use_peepholes=True)
+    x = jnp.asarray(rng.randn(B, T, D).astype(np.float32))
+    lens = rng.randint(T // 2, T + 1, B)
+    mask = jnp.asarray((np.arange(T)[None, :] < lens[:, None]).astype(np.float32))
+    gseed = jnp.asarray(rng.randn(B, T, H).astype(np.float32))
+
+    for bwd in (False, True):
+        a = lstm_ops.lstm_forward(params, x, mask, backwards=bwd,
+                                  use_custom_vjp=True)
+        b = lstm_ops.lstm_forward(params, x, mask, backwards=bwd,
+                                  use_custom_vjp=False)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-5, atol=2e-5)
+
+        def loss(p, custom):
+            out = lstm_ops.lstm_forward(p, x, mask, backwards=bwd,
+                                        use_custom_vjp=custom)
+            return jnp.sum(out * gseed)
+
+        ga = jax.jit(jax.grad(lambda p: loss(p, True)))(params)
+        gb = jax.jit(jax.grad(lambda p: loss(p, False)))(params)
+        for k in ga:
+            a2, b2 = np.asarray(ga[k]), np.asarray(gb[k])
+            scale = np.max(np.abs(b2)) + 1e-12
+            np.testing.assert_allclose(a2 / scale, b2 / scale, rtol=0,
+                                       atol=1e-3, err_msg=f"{k} bwd={bwd}")
