@@ -314,3 +314,26 @@ def test_device_eval_matches_host_eval():
                                             eval_batchsize=bs)
                 assert cr_d == cr_h, (output_mode, mesh_kw, bs)
                 np.testing.assert_array_equal(conf_d, conf_h)
+
+
+def test_param_shardings_demote_non_divisible():
+    """A rule whose sharded dim doesn't divide the model-axis size demotes
+    to replicated instead of padding (parallel/mesh.param_shardings)."""
+    from jax.sharding import PartitionSpec as P
+
+    mesh = mesh_lib.make_mesh_nd({"data": 4, "model": 2})
+    params = {
+        "streams": {"s1": {"encoder": {
+            "fc1": {"w": jnp.zeros((6, 8)), "b": jnp.zeros((8,))},
+            # 7 % 2 != 0 -> both leaves demote to replicated
+            "fc2": {"w": jnp.zeros((8, 7)), "b": jnp.zeros((7,))},
+        }}},
+        "output": {"w": jnp.zeros((7, 4)), "b": jnp.zeros((4,))},
+    }
+    sh = mesh_lib.param_shardings(params, mesh)
+    enc = sh["streams"]["s1"]["encoder"]
+    assert enc["fc1"]["w"].spec == P(None, "model")
+    assert enc["fc1"]["b"].spec == P("model")
+    assert enc["fc2"]["w"].spec == P()
+    assert enc["fc2"]["b"].spec == P()
+    assert sh["output"]["w"].spec == P()  # not an encoder leaf
