@@ -63,12 +63,12 @@ def play(videofile: str, show: bool, sheet_dir=None, scale: float = 0.5,
     kept = []
     for i, gray in enumerate(iter_frames(videofile, scale)):
         n += 1
+        if sheet_dir is not None and i % step == 0:
+            kept.append(gray)  # sheets also collect during interactive play
         if show:
             cv2.imshow("frame", gray)
             if cv2.waitKey(1) & 0xFF == ord("q"):
                 break
-        elif sheet_dir is not None and i % step == 0:
-            kept.append(gray)
     if show:
         cv2.destroyAllWindows()
     if kept and sheet_dir is not None:

@@ -51,16 +51,18 @@ def batch_norm_forward(params, state, x, train: bool, eps: float = 1e-4,
     flat = x.reshape(-1, feat)
     if train:
         if axis_name is not None:
-            # sum/sumsq/count formulation: one fused psum of two (D,) vectors
-            # and a scalar instead of a mean-of-means (which would be wrong
-            # for unequal shards and needs two round trips for var)
-            local_sum = flat.sum(axis=0)
-            local_sumsq = (flat * flat).sum(axis=0)
+            # TWO-pass formulation (psum the mean, then psum the squared
+            # deviations): numerically equal to the unsharded jnp.var.  The
+            # one-pass E[x^2] - mean^2 form saves a collective but
+            # catastrophically cancels in f32 when |mean| >> std
+            # (unnormalized raw-pixel activations: mean ~2e3, std ~1e-2
+            # gives a NEGATIVE "variance" and NaN through the sqrt — found
+            # by review, repro'd), so the second psum is the price of not
+            # NaN-ing exactly the inputs BN exists to fix.
             count = jax.lax.psum(jnp.float32(flat.shape[0]), axis_name)
-            total = jax.lax.psum(local_sum, axis_name)
-            totalsq = jax.lax.psum(local_sumsq, axis_name)
-            mean = total / count
-            var = totalsq / count - mean * mean
+            mean = jax.lax.psum(flat.sum(axis=0), axis_name) / count
+            d = flat - mean
+            var = jax.lax.psum((d * d).sum(axis=0), axis_name) / count
         else:
             mean = flat.mean(axis=0)
             var = flat.var(axis=0)

@@ -84,14 +84,19 @@ def param_shardings(params, mesh: Mesh, rules=None,
     replication is strictly better than padding.
     """
     rules = rules or adenet_param_rules(model_axis)
-    axis_size = mesh.shape.get(model_axis, 1)
 
     def one(path, leaf):
         spec = rules(path, leaf)
         for dim, axis in enumerate(spec):
             if axis is None:
                 continue
-            if dim >= leaf.ndim or leaf.shape[dim] % axis_size != 0:
+            # validate against the size of the axes the spec ACTUALLY names
+            # (custom rules may shard over any axis, incl. tuples)
+            axes = axis if isinstance(axis, tuple) else (axis,)
+            size = 1
+            for a in axes:
+                size *= mesh.shape[a]
+            if dim >= leaf.ndim or leaf.shape[dim] % size != 0:
                 spec = P()
                 break
         return NamedSharding(mesh, spec)

@@ -93,7 +93,8 @@ class TrainOptions:
     # with psum'd loss parts and gradients — numerically identical, and the
     # auto-dispatched Pallas kernels stay usable because every shape inside
     # the body is already local; see ops/pallas/dispatch.py).  BN streams
-    # require "gspmd" (shard_map would compute per-shard batch statistics).
+    # train with cross-shard synced statistics in both modes
+    # (ops/normalization.batch_norm_forward axis_name).
     mesh_mode: str = "gspmd"
     # length-bucketed training batches: None (off — pad every batch to the
     # split's global max T, reference semantics utils/datagen.py:104),
@@ -323,7 +324,8 @@ class Trainer:
             rng = jax.random.fold_in(rng, jax.lax.axis_index(axis))
             with dispatch.local_shapes():
                 # bn_axis: batch-norm streams train with SYNCED statistics —
-                # the body psums (sum, sumsq, count) over the data axis
+                # the body psums the mean then the squared deviations (two-pass,
+                # cancellation-safe) over the data axis
                 # (ops/normalization), so every shard normalizes with the
                 # exact global-minibatch moments
                 res = self._loss(params, streams, y, mask, train, rng,

@@ -142,7 +142,7 @@ def _tiny_adenet_v1():
 
 def test_shard_map_synced_batchnorm_equals_gspmd_and_single():
     """Batch-norm streams train under mesh_mode='shard_map' with CROSS-SHARD
-    statistics (psum of sum/sumsq/count): one train step produces the same
+    statistics (two-pass psum'd moments): one train step produces the same
     loss, parameters, AND updated BN running averages as the GSPMD mesh path
     and the single-device step."""
     cfg = _tiny_adenet_v1()
@@ -218,3 +218,40 @@ def test_shard_map_with_bucketed_batches():
                                prefetch_batches=False))
     result = tr.fit(([X], y, lens), ([X], y, lens), ([X], y, lens))
     assert result.class_rate[-1] > 0.6
+
+
+def test_synced_batchnorm_no_cancellation_on_large_mean():
+    """Regression (review r3): the synced BN variance must use the two-pass
+    formulation — the one-pass E[x^2]-mean^2 form catastrophically cancels
+    in f32 for |mean| >> std (raw-pixel-scale activations) and NaN'd the
+    sharded step while the unsharded one trained fine."""
+    import jax.numpy as jnp
+    from jax import shard_map
+    from jax.sharding import Mesh, PartitionSpec as P
+
+    from ip_avsr_tpu.ops import normalization as norm
+
+    rng = np.random.RandomState(0)
+    x = (2000.0 + 0.01 * rng.randn(32, 4)).astype(np.float32)
+    params, state = norm.init_batch_norm(4)
+
+    want, want_state = norm.batch_norm_forward(params, state,
+                                               jnp.asarray(x), train=True)
+    assert np.isfinite(np.asarray(want)).all()
+
+    mesh = Mesh(np.array(jax.devices()), ("data",))
+    fn = shard_map(
+        lambda v: norm.batch_norm_forward(params, state, v, train=True,
+                                          axis_name="data"),
+        mesh=mesh, in_specs=P("data"), out_specs=(P("data"), P()),
+        check_vma=False)
+    got, got_state = jax.jit(fn)(jnp.asarray(x))
+    assert np.isfinite(np.asarray(got)).all()
+    # at this conditioning (|mean|/std = 2e5) the f32 mean itself is only
+    # accurate to ~1e-4, and a ~1e-4 mean difference shifts y by ~1e-2 —
+    # the guard here is finiteness and a sane variance (the one-pass form
+    # produced var ~0.99 instead of ~1.5e-4, then NaN), not bit equality
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=0.15, atol=0.15)
+    np.testing.assert_allclose(np.asarray(got_state["var"]),
+                               np.asarray(want_state["var"]), rtol=0.05)
