@@ -266,6 +266,9 @@ def _train_and_report(options, clf, tc, stream_cfgs,
     if tc.matmul_dtype:
         model_cfg = adenet.AdeNetConfig(**{**model_cfg.__dict__,
                                            "matmul_dtype": tc.matmul_dtype})
+    if clf.lstm_remat:
+        model_cfg = adenet.AdeNetConfig(**{**model_cfg.__dict__,
+                                           "lstm_remat": True})
 
     topts = TrainOptions(
         num_epoch=options.num_epoch or tc.num_epoch,

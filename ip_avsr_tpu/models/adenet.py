@@ -96,6 +96,14 @@ class AdeNetConfig:
     # this flag. Peephole models (the reference default) have their own
     # kernel variants on every path.
     lstm_impl: str = "xla"
+    # Long-sequence memory lever: drop the (T, B, 4H) gate pre-activations
+    # from every LSTM's training residuals and rebuild them at the start of
+    # that layer's backward with two large matmuls (ops/lstm.lstm_forward
+    # remat) — ~3x less residual memory per recurrent layer, at the cost of
+    # one transient recompute per layer.  Pair with sequence_parallel for
+    # long feature streams.  Non-peephole layers only (peephole gates
+    # depend on the carried cell state); no effect at inference.
+    lstm_remat: bool = False
 
     def stream_lstm_size(self, spec: StreamSpec) -> int:
         return int(spec.lstm_size or self.lstm_size)
@@ -295,7 +303,8 @@ def head_forward(params, config: AdeNetConfig, stream_feats, mask, train,
             return lstm_kernel.lstm_forward_pallas(p, feats, m, backwards=backwards,
                                                    matmul_dtype=mmdtype)
         return lstm_ops.lstm_forward(p, feats, m, backwards=backwards,
-                                     matmul_dtype=mmdtype)
+                                     matmul_dtype=mmdtype,
+                                     remat=config.lstm_remat)
 
     # per-stream LSTMs — grouped into one scan when homogeneous
     lstm_idx = [i for i, s in enumerate(config.streams) if s.use_lstm]

@@ -107,6 +107,7 @@ def lstm_forward(
     grad_clipping: float = 5.0,
     matmul_dtype=None,
     use_custom_vjp: bool = True,
+    remat: bool = False,
 ) -> jnp.ndarray:
     """Run a masked LSTM over ``x`` (B, T, D); returns hidden states (B, T, H).
 
@@ -120,6 +121,17 @@ def lstm_forward(
     ``h_prev^T @ dgates`` accumulation inside the sequential chain —
     measured ~1.5x faster full-train-step on v5e.  ``use_custom_vjp=False``
     forces plain autodiff (kept for gradient-equality tests).
+
+    ``remat=True`` (non-peephole) drops the (T, B, 4H) pre-activation gates
+    from the training residuals — the dominant activation tensor — and
+    recomputes them at the START of the backward with two large MXU matmuls
+    (``x @ W_in`` and ``hids_prev @ W_hid``; the recurrence itself is never
+    re-run).  Residual memory per layer falls from ~6H to ~2H floats/step,
+    and the recomputed tensor is transient (alive only during that layer's
+    backward) instead of held across the whole forward+backward.  This is
+    the long-sequence memory lever that pairs with sequence parallelism
+    (docs/SCALING.md); gradients are numerically equal up to matmul
+    reduction order (tested).
     """
     B, T, D = x.shape
     H = lstm_params_hidden_size(params)
@@ -132,10 +144,14 @@ def lstm_forward(
 
     if use_custom_vjp:
         static = (bool(backwards), float(grad_clipping or 0.0),
-                  jnp.dtype(matmul_dtype).name if matmul_dtype is not None else None)
+                  jnp.dtype(matmul_dtype).name if matmul_dtype is not None else None,
+                  bool(remat))
         if use_peepholes:
+            # peephole gates depend on the carried cell state, so their
+            # recomputation would need the whole recurrence re-run — the
+            # remat option covers the non-peephole cores only
             return _lstm_core_peep(
-                static, params["w_in"], params["w_hid"], params["b"],
+                static[:3], params["w_in"], params["w_hid"], params["b"],
                 params["cell_init"], params["hid_init"],
                 params["w_cell_to_ingate"], params["w_cell_to_forgetgate"],
                 params["w_cell_to_outgate"], x, mask)
@@ -234,7 +250,7 @@ def _lstm_prep(static, w_in, w_hid, b, cell_init, hid_init, x, mask):
     (B*T, D) x (D, 4H) input projection, broadcast initial states, matmul
     dtype casts.  Returns (x, mask, x_proj, cell0, hid0, w_hid_mm, H, f32)
     with x/mask already flipped when ``backwards``."""
-    backwards, _grad_clipping, md = static
+    backwards, _grad_clipping, md = static[:3]
     mmdtype = jnp.dtype(md) if md else None
     B, T, D = x.shape
     H = w_hid.shape[0]
@@ -259,8 +275,9 @@ def _lstm_prep(static, w_in, w_hid, b, cell_init, hid_init, x, mask):
 def _recurrence_scan(x_proj_t, mask_t, cell0, hid0, w_hid_mm, H, f32,
                      collect_residuals):
     """The XLA fallback recurrence (non-peephole, Lasagne mask-carry).
-    Emits (hids, cells, gates) stacks when ``collect_residuals`` (the
-    custom-VJP forward) or hids alone (the primal)."""
+    ``collect_residuals``: True emits (hids, cells, gates) stacks (the
+    custom-VJP forward), "hc" emits (hids, cells) (the remat forward —
+    gates are recomputed in the backward), False emits hids (the primal)."""
 
     def step(carry, inputs):
         cell_prev, hid_prev = carry
@@ -275,7 +292,12 @@ def _recurrence_scan(x_proj_t, mask_t, cell0, hid0, w_hid_mm, H, f32,
         hid_cand = o * jnp.tanh(cell_cand)
         cell = m * cell_cand + (1.0 - m) * cell_prev
         hid = m * hid_cand + (1.0 - m) * hid_prev
-        out = (hid, cell, gates) if collect_residuals else hid
+        if collect_residuals == "hc":
+            out = (hid, cell)
+        elif collect_residuals:
+            out = (hid, cell, gates)
+        else:
+            out = hid
         return (cell, hid), out
 
     (_, _), ys = jax.lax.scan(step, (cell0, hid0), (x_proj_t, mask_t))
@@ -284,13 +306,23 @@ def _recurrence_scan(x_proj_t, mask_t, cell0, hid0, w_hid_mm, H, f32,
 
 def _lstm_core_fwd_impl(static, w_in, w_hid, b, cell_init, hid_init, x, mask):
     backwards = static[0]
+    remat = bool(static[3]) if len(static) > 3 else False
     x, mask, x_proj, cell0, hid0, w_hid_mm, H, f32 = _lstm_prep(
         static, w_in, w_hid, b, cell_init, hid_init, x, mask)
     B, T = x.shape[0], x.shape[1]
     x_proj_t = jnp.transpose(x_proj, (1, 0, 2))  # (T, B, 4H)
     mask_t = jnp.transpose(mask, (1, 0))[..., None]
 
-    if _pallas_train_ok(B, T, H):
+    if remat:
+        # gates are NOT saved — the backward rebuilds them from x and
+        # hids_prev with two large matmuls; a scalar placeholder keeps the
+        # residual structure uniform.  (The Pallas train kernel always
+        # emits gates, so the remat forward takes the scan path.)
+        hids, cells = _recurrence_scan(
+            x_proj_t, mask_t, cell0, hid0, w_hid_mm, H, f32,
+            collect_residuals="hc")
+        gates_pre = jnp.zeros((), f32)
+    elif _pallas_train_ok(B, T, H):
         from ip_avsr_tpu.ops.pallas import lstm_kernel
 
         hids, cells, gates_pre = lstm_kernel.lstm_pallas_train(
@@ -356,7 +388,8 @@ def _lstm_core_fwd(static, w_in, w_hid, b, cell_init, hid_init, x, mask):
 
 
 def _lstm_core_bwd(static, residuals, g_out):
-    backwards, grad_clipping, md = static
+    backwards, grad_clipping, md = static[:3]
+    remat = bool(static[3]) if len(static) > 3 else False
     mmdtype = jnp.dtype(md) if md else None
     (w_in, w_hid, b_p, cell_init_p, hid_init_p, x, mask, hids, cells,
      gates_pre, cell0, hid0) = residuals
@@ -369,6 +402,23 @@ def _lstm_core_bwd(static, residuals, g_out):
     mask_t = jnp.transpose(mask, (1, 0))[..., None]
     cells_prev = jnp.concatenate([cell0[None], cells[:-1]], axis=0)
     w_hid_mm = w_hid.astype(mmdtype) if mmdtype else w_hid
+    hids_prev = jnp.concatenate([hid0[None], hids[:-1]], axis=0)
+
+    if remat:
+        # rebuild the pre-activation gates dropped from the residuals: the
+        # same x @ W_in + b and hids_prev @ W_hid the forward computed, as
+        # two large transient MXU matmuls (no recurrence re-run — hids is a
+        # saved residual, so hids_prev is just a shift)
+        x_tm = jnp.transpose(x, (1, 0, 2)).reshape(T * B, D)
+        x_mm = x_tm.astype(mmdtype) if mmdtype else x_tm
+        w_in_mm = w_in.astype(mmdtype) if mmdtype else w_in
+        xp = (jnp.dot(x_mm, w_in_mm, preferred_element_type=jnp.float32)
+              .astype(f32).reshape(T, B, 4 * H) + b_p.astype(f32))
+        hp_mm = hids_prev.reshape(T * B, H)
+        hp_mm = hp_mm.astype(mmdtype) if mmdtype else hp_mm
+        rec = (jnp.dot(hp_mm, w_hid_mm, preferred_element_type=jnp.float32)
+               .astype(f32).reshape(T, B, 4 * H))
+        gates_pre = xp + rec
 
     def back_step(carry, inputs):
         dcell_next, dhid_next = carry  # cotangents of this step's outputs
@@ -412,7 +462,6 @@ def _lstm_core_bwd(static, residuals, g_out):
             (g_out_t, gates_pre, cells, cells_prev, mask_t), reverse=True)
 
     # weight/input grads as single large MXU matmuls over all T*B rows
-    hids_prev = jnp.concatenate([hid0[None], hids[:-1]], axis=0)
     dg_flat = dgates_all.reshape(T * B, 4 * H)
     hp_flat = hids_prev.reshape(T * B, H)
     x_flat = jnp.transpose(x, (1, 0, 2)).reshape(T * B, D)

@@ -53,6 +53,9 @@ class ClassifierConfig:
     matlab_target_offset: bool = False
     use_dropout: bool = False
     use_blstm: bool = True
+    # drop the (T, B, 4H) gate residuals and recompute in the backward
+    # (models/adenet.AdeNetConfig.lstm_remat — long-sequence memory lever)
+    lstm_remat: bool = False
 
 
 @dataclasses.dataclass
@@ -143,6 +146,7 @@ def parse_classifier(cp: configparser.ConfigParser) -> ClassifierConfig:
         matlab_target_offset=_getboolean(cp, sec, "matlab_target_offset"),
         use_dropout=_getboolean(cp, sec, "use_dropout"),
         use_blstm=_getboolean(cp, sec, "use_blstm", default=True),
+        lstm_remat=_getboolean(cp, sec, "lstm_remat"),
     )
 
 

@@ -348,3 +348,64 @@ def test_pallas_peep_train_kernels_interpret_match_autodiff(monkeypatch):
                 np.testing.assert_allclose(
                     np.asarray(ga[k]), np.asarray(gb[k]), rtol=1e-4,
                     atol=1e-5, err_msg=f"{k} peep={peep} bwd={bwd}")
+
+
+def test_lstm_remat_grads_match_and_save_memory():
+    """remat=True: gradients equal the full-residual custom VJP (and plain
+    autodiff) up to matmul reduction order, and the compiled backward's
+    peak temp memory is smaller (the (T,B,4H) gates residual is gone)."""
+    rng = np.random.RandomState(0)
+    B, T, D, H = 4, 64, 12, 16
+    params = lstm.init_lstm_params(jax.random.PRNGKey(0), D, H)
+    x = jnp.asarray(rng.randn(B, T, D).astype(np.float32))
+    lens = rng.randint(T // 2, T + 1, B)
+    mask = jnp.asarray((np.arange(T)[None, :] < lens[:, None]).astype(np.float32))
+    gseed = jnp.asarray(rng.randn(B, T, H).astype(np.float32))
+
+    def loss(p, remat, custom=True, bwd=False):
+        out = lstm.lstm_forward(p, x, mask, backwards=bwd,
+                                use_custom_vjp=custom, remat=remat)
+        return jnp.sum(out * gseed)
+
+    for bwd in (False, True):
+        out_r = lstm.lstm_forward(params, x, mask, backwards=bwd, remat=True)
+        out_f = lstm.lstm_forward(params, x, mask, backwards=bwd, remat=False)
+        np.testing.assert_allclose(np.asarray(out_r), np.asarray(out_f),
+                                   rtol=1e-6, atol=1e-7)
+        g_r = jax.grad(lambda p: loss(p, True, bwd=bwd))(params)
+        g_f = jax.grad(lambda p: loss(p, False, bwd=bwd))(params)
+        g_a = jax.grad(lambda p: loss(p, False, custom=False, bwd=bwd))(params)
+        for k in g_r:
+            np.testing.assert_allclose(np.asarray(g_r[k]), np.asarray(g_f[k]),
+                                       rtol=1e-4, atol=1e-6,
+                                       err_msg=f"{k} bwd={bwd} (vs full)")
+            np.testing.assert_allclose(np.asarray(g_r[k]), np.asarray(g_a[k]),
+                                       rtol=1e-4, atol=1e-6,
+                                       err_msg=f"{k} bwd={bwd} (vs autodiff)")
+
+    # objective memory check: residual bytes held across the backward (the
+    # vjp closure IS a pytree of the saved residuals).  With 5 recurrences
+    # (stream LSTM + 2 BLSTM layers) dropping each layer's (T, B, 4H) gates
+    # roughly halves the live residual set — the quantity that bounds how
+    # long a sequence fits in HBM (XLA temp-peak accounting on CPU hides
+    # this behind buffer-reuse scheduling, so measure the residuals
+    # themselves).
+    from ip_avsr_tpu.models import adenet as adenet_mod
+    from ip_avsr_tpu.models.adenet import AdeNetConfig, StreamSpec
+
+    def residual_bytes(remat):
+        cfg = AdeNetConfig(
+            streams=[StreamSpec(input_dim=12, name="s1", use_delta=False,
+                                use_lstm=True)],
+            output_classes=4, lstm_size=16, agg_layers=2,
+            agg_bidirectional=True, output_mode="per_step",
+            lstm_remat=remat)
+        p = adenet_mod.init_adenet_params(jax.random.PRNGKey(1), cfg)
+        _, vjp_fn = jax.vjp(
+            lambda p: jnp.sum(adenet_mod.adenet_forward(p, cfg, [x], mask,
+                                                        train=True)), p)
+        return sum(l.nbytes for l in jax.tree_util.tree_leaves(vjp_fn)
+                   if hasattr(l, "nbytes"))
+
+    full, lean = residual_bytes(False), residual_bytes(True)
+    assert lean < 0.65 * full, (lean, full)
