@@ -35,6 +35,11 @@ def main(argv=None):
     ap.add_argument("--model", help="pickled params from --save_best")
     ap.add_argument("--synthetic", type=int, default=0)
     ap.add_argument("--classnames", help="comma-separated class names")
+    ap.add_argument("--pipelined", action="store_true",
+                    help="serve through serve.PipelinedServer (async "
+                         "block-fetched results; amortizes the host-device "
+                         "round trip over --depth requests)")
+    ap.add_argument("--depth", type=int, default=8)
     args = ap.parse_args(argv)
 
     cp = config_lib.load_config(args.config)
@@ -85,22 +90,55 @@ def main(argv=None):
     targets = data[0]["targetsVec"].reshape(-1) - 1
     offsets = np.concatenate([[0], np.cumsum(lens)[:-1]])
 
-    correct = 0
-    for i in range(n):
-        T = int(lens[i])
-        streams = [jnp.asarray(d["dataMatrix"][offsets[i]:offsets[i] + T][None, ...])
-                   for d in data]
-        mask = jnp.ones((1, T), jnp.float32)
-        probs = np.asarray(predict(params, streams, mask))
-        if probs.ndim == 3:
-            pred = int(masked_majority_vote(probs, np.ones((1, T)))[0])
-        else:
-            pred = int(np.argmax(probs[0]))
+    def report(i, pred, correct):
         truth = int(targets[offsets[i]])
-        mark = "*" if pred == truth else " "
-        correct += pred == truth
+        ok = pred == truth
+        mark = "*" if ok else " "
         print(f"utterance {i + 1:3d}: predicted '{classnames[pred]}' "
               f"(truth '{classnames[truth]}') {mark}")
+        return correct + ok
+
+    correct = 0
+    if args.pipelined:
+        # sustained serving: requests padded to one static T (one compiled
+        # shape), dispatched async, results fetched in on-device blocks
+        from ip_avsr_tpu import serve as serve_lib
+
+        t_max = int(lens.max())
+        pipe = serve_lib.PipelinedServer(params, cfg, vote=False,
+                                         depth=args.depth)
+
+        def requests():
+            for i in range(n):
+                T = int(lens[i])
+                streams = []
+                for d in data:
+                    seq = d["dataMatrix"][offsets[i]:offsets[i] + T]
+                    streams.append(np.pad(seq, ((0, t_max - T), (0, 0)))
+                                   [None, ...].astype(np.float32))
+                mask = np.zeros((1, t_max), np.float32)
+                mask[0, :T] = 1.0
+                yield streams, mask
+        for i, probs in enumerate(pipe.map(requests())):
+            T = int(lens[i])
+            if probs.ndim == 3:
+                m = np.zeros((1, t_max)); m[0, :T] = 1.0
+                pred = int(masked_majority_vote(probs, m)[0])
+            else:
+                pred = int(np.argmax(probs[0]))
+            correct = report(i, pred, correct)
+    else:
+        for i in range(n):
+            T = int(lens[i])
+            streams = [jnp.asarray(d["dataMatrix"][offsets[i]:offsets[i] + T][None, ...])
+                       for d in data]
+            mask = jnp.ones((1, T), jnp.float32)
+            probs = np.asarray(predict(params, streams, mask))
+            if probs.ndim == 3:
+                pred = int(masked_majority_vote(probs, np.ones((1, T)))[0])
+            else:
+                pred = int(np.argmax(probs[0]))
+            correct = report(i, pred, correct)
     print(f"accuracy: {correct}/{n}")
 
 

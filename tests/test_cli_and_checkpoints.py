@@ -36,6 +36,15 @@ def test_nstream_train_save_extract_demo(tmp_path, capsys):
     out = capsys.readouterr().out
     assert "accuracy:" in out
 
+    # pipelined serving mode gives the SAME per-utterance predictions
+    demo.main(["--config", "configs/synthetic_1stream.ini", "--model", str(best),
+               "--synthetic", "6", "--pipelined", "--depth", "2"])
+    out_pipe = capsys.readouterr().out
+    def preds(text):
+        return [l.split("predicted")[1] for l in text.splitlines()
+                if "predicted" in l]
+    assert preds(out_pipe) == preds(out)
+
 
 def test_pretrained_encoder_feeds_nstream(tmp_path):
     from ip_avsr_tpu.cli import pretrain_dbn
