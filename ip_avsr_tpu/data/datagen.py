@@ -96,7 +96,12 @@ def gen_lstm_batch_random(X, y, seqlen, batchsize=30, shuffle=True, rng=None):
         else:
             idxs = order[start:end]
             reset = False
-        X_batch, y_batch, mask = _pack_batch(X, y, seqlen, integral_lens, idxs, max_timesteps)
+        # float32 pinned: .mat corpora load as float64, which would double
+        # host->device bytes and compile a second dtype vs the float32
+        # batches every other generator/dataset emits
+        X_batch, y_batch, mask = _pack_batch(X, y, seqlen, integral_lens,
+                                             idxs, max_timesteps,
+                                             dtype="float32")
         if reset:
             order = rng.permutation(no_videos) if shuffle else np.arange(no_videos)
             start = 0
@@ -183,7 +188,10 @@ def gen_batch_from_file(X, y, seqlen, feature_len, batchsize=30, shuffle=True,
         for i, video_idx in enumerate(idxs):
             try:
                 data = load_mat_file(X[video_idx])[datafieldname].astype("float32")
-            except ValueError as err:
+            except (ValueError, OSError, KeyError) as err:
+                # missing/corrupt/renamed shard degrades to a zero sequence
+                # (reference semantics utils/datagen.py:44-48) instead of a
+                # FileNotFoundError killing the infinite training iterator
                 print(f"Error reading file: {X[video_idx]}, {err}")
                 data = np.zeros((max_timesteps, feature_len), dtype="float32")
             vidlen = int(seqlen[video_idx])
@@ -206,7 +214,7 @@ def gen_file_batch_from_idx(files, idxs, seqlens, max_timesteps, feature_len,
     for i, seq_id in enumerate(idxs):
         try:
             data = load_mat_file(files[seq_id])[datafieldname].astype("float32")
-        except ValueError as err:
+        except (ValueError, OSError, KeyError) as err:
             print(f"Error reading file: {files[seq_id]}, {err}")
             data = np.zeros((max_timesteps, feature_len), dtype="float32")
         X_batch[i, : len(data)] = data[:max_timesteps]

@@ -125,6 +125,37 @@ def run_landmark_pool(tasks: List[tuple], landmark_factory, factory_arg,
         queue.put(task)
     for _ in procs:
         queue.put(None)
-    queue.join()
+    # liveness-checked join: a worker killed by a native crash (dlib/OpenCV
+    # segfault on a corrupt frame) never calls task_done for its pending
+    # tasks, so a bare queue.join() would hang the whole run forever.  Run
+    # the join on a helper thread and watch worker liveness; bail out
+    # loudly if a worker dies abnormally.
+    import threading
+
+    joined = threading.Event()
+
+    def _join():
+        queue.join()
+        joined.set()
+
+    waiter = threading.Thread(target=_join, daemon=True)
+    waiter.start()
+    while not joined.wait(timeout=1.0):
+        dead = [p for p in procs
+                if not p.is_alive() and p.exitcode not in (0, None)]
+        if dead:
+            for p in procs:
+                if p.is_alive():
+                    p.terminate()
+            raise RuntimeError(
+                f"{len(dead)} landmark worker(s) crashed (exitcodes "
+                f"{[p.exitcode for p in dead]}); aborting the pool instead "
+                f"of deadlocking on queue.join()")
+        if not any(p.is_alive() for p in procs):
+            if joined.wait(timeout=1.0):  # workers done AND queue drained:
+                break                     # the normal finish racing our poll
+            raise RuntimeError(
+                "all landmark workers exited with tasks still pending; "
+                "aborting instead of hanging")
     for p in procs:
         p.join()

@@ -396,9 +396,13 @@ def apply_zca_whitening(X):
 # Temporal re-sampling
 # ---------------------------------------------------------------------------
 
-def factorize(inputs, targets, input_len, multipleof, axis_to_delete=None, rng=None):
+def factorize(inputs, targets, input_len, multipleof, axis_to_delete=0, rng=None):
     """Randomly drop frames so each sequence length is a multiple of
-    ``multipleof``. Mirrors utils/preprocessing.py:534-556."""
+    ``multipleof``. Mirrors utils/preprocessing.py:534-556, except the
+    default ``axis_to_delete`` is 0 (drop frame ROWS): the reference
+    defaults to None — which makes np.delete FLATTEN 2-D inputs, silently
+    corrupting the data — and then never uses that default (every reference
+    call site passes 0 explicitly, e.g. oulu/prepare_data.py:168)."""
     rng = np.random if rng is None else rng
     inputs = np.asarray(inputs)
     if inputs.ndim < 2:
@@ -422,10 +426,38 @@ def factorize(inputs, targets, input_len, multipleof, axis_to_delete=None, rng=N
 def embed_temporal_info(X, targets, X_len, window, step):
     """Stack a sliding temporal window of frames into each output feature row,
     downsampling time by ``step``. Mirrors utils/preprocessing.py:559-604
-    (Python-2 integer division reproduced with ``//``)."""
+    (Python-2 integer division reproduced with ``//``).
+
+    Preconditions the reference leaves implicit (violations crash it with
+    opaque numpy errors — negative np.repeat, IndexError, broadcast
+    mismatches): every length must be a multiple of ``step`` (run
+    :func:`factorize` first, as the reference mains do) and the padding
+    count ``window - step + ceil(step/2)`` must be non-negative.  Checked
+    here with explicit errors instead.
+    """
     X = np.asarray(X)
     targets = np.asarray(targets)
     X_len = np.asarray(X_len)
+    repeats_chk = int(window - step + math.ceil(step / 2.0))
+    if repeats_chk < 0:
+        raise ValueError(
+            f"embed_temporal_info: window={window} too small for step={step} "
+            f"(edge padding {repeats_chk} would be negative); need "
+            f"window >= step - ceil(step/2)")
+    bad = X_len % step
+    if np.any(bad):
+        raise ValueError(
+            f"embed_temporal_info: sequence lengths {X_len[bad != 0]} are "
+            f"not multiples of step={step}; factorize() the data first "
+            f"(oulu/prepare_data.py:168 pipeline order)")
+    # EVEN steps: the reference's symmetric padding under-provisions the
+    # right edge by exactly one frame (last window's slice overruns and
+    # numpy's broadcast raises — verified against the reference formula for
+    # every even step), so it can never have produced results to match.
+    # One extra edge-replicated frame on the right makes even steps work
+    # with the natural semantics; odd steps are bit-identical to the
+    # reference.
+    extra_right = 1 - step % 2
     embedsize = X.shape[-1] * (window * 2 + 1)
     total = int(np.sum(X_len)) // step
     res = np.zeros((total, embedsize), dtype=X.dtype)
@@ -438,7 +470,8 @@ def embed_temporal_info(X, targets, X_len, window, step):
         seq = X[curr : curr + length]
         seq_target = targets[curr : curr + length]
         seq = np.concatenate(
-            [np.repeat(seq[:1], repeats, axis=0), seq, np.repeat(seq[-1:], repeats, axis=0)],
+            [np.repeat(seq[:1], repeats, axis=0), seq,
+             np.repeat(seq[-1:], repeats + extra_right, axis=0)],
             axis=0,
         )
         pos = repeats + step // 2

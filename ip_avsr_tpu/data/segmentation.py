@@ -53,7 +53,16 @@ def segment_frames(frame_pts_times: Sequence[float],
     current = 0
     n = len(frame_pts_times)
     for start, end, word in htk_labels:
-        number = DIGIT_MAP.get(word, word)
+        if word not in DIGIT_MAP:
+            # silence/garbage entries ('sil', ...) in the #Normal block:
+            # skip the window — its frames are consumed by the next
+            # window's leading scan — rather than emitting a STRING label
+            # into an otherwise-integer target vector (the reference hard
+            # KeyErrors here, oulu/prepare_data.py:58)
+            print(f"segment_frames: skipping non-digit label '{word}' "
+                  f"({start}-{end})")
+            continue
+        number = DIGIT_MAP[word]
         seq_len = 0
         while current < n:
             t = to_100ns(frame_pts_times[current])

@@ -78,6 +78,8 @@ def finetune_autoencoder(
     X = np.asarray(train_X, np.float32)
     rng = np.random.RandomState(seed)
     n = len(X)
+    batchsize = min(batchsize, n)  # n < batchsize would otherwise run
+    # ZERO batches and silently return untrained params ('loss = 0.000000')
     for epoch in range(epochs):
         order = rng.permutation(n)
         total, count = jnp.float32(0.0), 0
@@ -127,6 +129,8 @@ def train_convae(
     jrng = jax.random.PRNGKey(seed + 1)
     lr = learning_rate
     n = len(X)
+    batchsize = min(batchsize, n)  # n < batchsize would otherwise run
+    # ZERO batches and silently return untrained params ('loss = 0.000000')
     history = []
     for epoch in range(epochs):
         order = rng.permutation(n)

@@ -197,12 +197,13 @@ def train_rbm(
         # a single host<->device round trip per epoch instead of one per
         # minibatch (the key-split order inside the scan matches the
         # per-batch loop exactly, so results are unchanged)
-        batch_stack = np.zeros((n_batches, bs, d), np.float32)
-        mask_stack = np.zeros((n_batches, bs, 1), np.float32)
-        for b in range(n_batches):
-            idxs = order[b * bs : (b + 1) * bs]
-            batch_stack[b, : len(idxs)] = data[idxs]
-            mask_stack[b, : len(idxs)] = 1.0
+        # one vectorized gather + zero-pad (identical to a per-batch slice
+        # loop over `order`, without the Python hot loop each epoch)
+        batch_stack = np.zeros((n_batches * bs, d), np.float32)
+        batch_stack[:n] = data[order]
+        batch_stack = batch_stack.reshape(n_batches, bs, d)
+        mask_stack = (np.arange(n_batches * bs) < n).astype(np.float32) \
+            .reshape(n_batches, bs, 1)
         state, velocity, key, err_sum = _rbm_epoch(
             state, velocity, key, jnp.asarray(batch_stack),
             jnp.asarray(mask_stack), jnp.asarray(momentum, jnp.float32),
@@ -241,7 +242,14 @@ def _rbm_epoch(state, velocity, key, batch_stack, mask_stack, momentum, lrs,
 
 
 def normalise_data(tr_fcn: str, data: np.ndarray, ps: Optional[tuple] = None):
-    """dbn/normaliseData.m:6-34 — linear: featurewise mapstd; sigm: /max."""
+    """dbn/normaliseData.m:6-34 — linear: featurewise mapstd; sigm: /max.
+
+    Unlike the MATLAB original, the 'sigm' branch also honors the ``ps``
+    reuse contract: the first call records the training max, later calls
+    (val/test) divide by THAT max instead of their own — otherwise splits
+    with different dynamic ranges are silently scaled inconsistently for
+    the pretrained network.  First-call results are identical to MATLAB.
+    """
     if tr_fcn.lower() == "linear":
         if ps is None:
             mean = data.mean(axis=0)
@@ -251,5 +259,7 @@ def normalise_data(tr_fcn: str, data: np.ndarray, ps: Optional[tuple] = None):
         mean, std = ps
         return (data - mean) / std, ps
     if tr_fcn.lower() == "sigm":
-        return data / np.max(data), ps
+        if ps is None:
+            ps = (float(np.max(data)),)
+        return data / ps[0], ps
     return data, ps

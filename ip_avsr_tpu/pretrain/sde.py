@@ -33,6 +33,8 @@ def train_denoising_layer(
 ):
     """Train one tied-weight denoising AE layer; returns (W, b_enc)."""
     n, d = data.shape
+    batchsize = min(batchsize, n)  # n < batchsize would otherwise run
+    # ZERO batches and silently return untrained params ('loss = 0.000000')
     w = inits.glorot_uniform(key, (d, encode_size))
     params = {"w": w, "b_enc": jnp.zeros((encode_size,)), "b_dec": jnp.zeros((d,))}
     opt = opt_lib.adadelta()

@@ -32,12 +32,30 @@ _FLOAT_FIELDS = (
 )
 
 
+# ffmpeg >= 5 renamed frame timestamp fields (pkt_pts -> pts,
+# pkt_pts_time -> pts_time, pkt_duration -> duration); accept either
+# spelling and expose both attribute names so consumers written against
+# the reference's ffmpeg-4 field set keep working on modern ffprobe.
+_FIELD_ALIASES = {
+    "pts": "pkt_pts", "pts_time": "pkt_pts_time",
+    "dts": "pkt_dts", "dts_time": "pkt_dts_time",
+    "duration": "pkt_duration", "duration_time": "pkt_duration_time",
+}
+
+
 class FFProbeFrame:
     """One ffprobe frame; attributes mirror the reference's frame classes."""
 
     def __init__(self, fields: dict):
         self.media_type = fields.get("media_type", "")
+        # typed fields default so segmentation never AttributeErrors on a
+        # probe that omits them (ffmpeg version / stream differences)
+        for key in _INT_FIELDS:
+            setattr(self, key, -1)
+        for key in _FLOAT_FIELDS:
+            setattr(self, key, math.nan)
         for key, value in fields.items():
+            key = _FIELD_ALIASES.get(key, key)
             if key in _INT_FIELDS:
                 value = -1 if value == "N/A" else int(value)
             elif key in _FLOAT_FIELDS:

@@ -205,3 +205,94 @@ def test_landmark_cli(tmp_path, monkeypatch):
     assert csvs == ["s1_v1_u1.csv", "s2_v1_u3.csv"]
     rows = (tmp_path / "lm" / "s1_v1_u1.csv").read_text().strip().splitlines()
     assert len(rows) == 3 and len(rows[0].split(",")) == 136
+
+
+def test_ffprobe_parses_ffmpeg5_field_names():
+    """ffmpeg >= 5 renamed pkt_pts(_time) -> pts(_time); the parser must
+    expose the reference-era attribute names either way, and default typed
+    fields that a probe omits (review r3 finding)."""
+    from ip_avsr_tpu.utils import ffmpeg as ff
+
+    text = "\n".join([
+        "[FRAME]", "media_type=video", "pts=1001", "pts_time=0.033367",
+        "width=640", "height=480", "[/FRAME]",
+        "[FRAME]", "media_type=audio", "pts=N/A", "pts_time=N/A", "[/FRAME]",
+    ])
+    audio, video = ff.parse_ffprobe_output(text)
+    assert len(video) == 1 and len(audio) == 1
+    assert video[0].pkt_pts == 1001
+    assert abs(video[0].pkt_pts_time - 0.033367) < 1e-9
+    assert audio[0].pkt_pts == -1
+    import math
+    assert math.isnan(audio[0].pkt_pts_time)
+    # omitted typed fields default instead of AttributeError-ing consumers
+    assert video[0].pkt_dts == -1
+    assert math.isnan(video[0].pkt_duration_time)
+
+
+def test_segment_frames_skips_non_digit_labels():
+    from ip_avsr_tpu.data import segmentation as seg
+
+    pts = [0.1 * i for i in range(10)]  # 0.0 .. 0.9 s
+    htk = [(0, 3_000_000, "zero"),          # frames at 0.1-0.3s
+           (3_000_000, 5_000_000, "sil"),   # skipped
+           (5_000_000, 9_000_000, "one")]   # frames at 0.6-0.9s
+    idxs, labels, seq_lens = seg.segment_frames(pts, htk)
+    assert all(isinstance(l, int) for l in labels)
+    assert set(labels) == {0, 1}
+    assert len(seq_lens) == 2  # no spurious segment for the silence window
+
+
+def test_normalise_data_sigm_reuses_train_max():
+    from ip_avsr_tpu.pretrain import rbm
+
+    train = np.array([[0.0, 4.0], [2.0, 1.0]])
+    test = np.array([[8.0, 1.0]])
+    tr_out, ps = rbm.normalise_data("sigm", train)
+    np.testing.assert_allclose(tr_out, train / 4.0)
+    te_out, _ = rbm.normalise_data("sigm", test, ps)
+    np.testing.assert_allclose(te_out, test / 4.0)  # TRAIN max, not its own
+
+
+def test_finetune_trains_even_when_corpus_smaller_than_batch():
+    """n < batchsize must still train (review r3: the batch loop silently
+    ran zero iterations and returned the untouched init)."""
+    import jax
+
+    from ip_avsr_tpu.pretrain import finetune
+    from ip_avsr_tpu.pretrain.dbn import train_dbn
+    from ip_avsr_tpu.pretrain.rbm import RBMHyperParams
+    from ip_avsr_tpu.pretrain.unfold import unfold_dbn_to_ae
+
+    rng = np.random.RandomState(0)
+    X = rng.rand(20, 12).astype(np.float32)
+    hyper = RBMHyperParams(epochs=1, batchsize=10)
+    dbn = train_dbn(jax.random.PRNGKey(0), X, [6, 4], ["sigm", "sigm"],
+                    hyper=hyper, log_fn=lambda *_: None)
+    w, b, acts, _layers = unfold_dbn_to_ae(dbn, [6, 4], ["sigm", "sigm"],
+                                          "sigm", 12)
+    w0 = [np.asarray(m).copy() for m in w]
+    logs = []
+    w2, b2 = finetune.finetune_autoencoder(
+        w, b, acts, X, epochs=1, batchsize=128,  # > n = 20
+        log_fn=logs.append)
+    moved = any(np.abs(np.asarray(a) - np.asarray(o)).max() > 0
+                for a, o in zip(w2, w0))
+    assert moved, "finetuning with n < batchsize must update parameters"
+
+
+def test_landmark_pool_aborts_on_worker_crash():
+    """A worker that dies without task_done must abort the pool with an
+    error instead of deadlocking queue.join() (review r3)."""
+    import pytest
+
+    from ip_avsr_tpu.data import landmarking
+
+    def crashing_factory(_arg):
+        import os
+
+        os._exit(3)  # simulate a native crash before any task_done
+
+    with pytest.raises(RuntimeError, match="crashed|pending"):
+        landmarking.run_landmark_pool([("v.mp4", "out.csv")],
+                                      crashing_factory, None, workers=2)
