@@ -20,6 +20,8 @@ import argparse
 import jax
 import numpy as np
 
+from ip_avsr_tpu.train import config as config_lib
+
 from ip_avsr_tpu.cli.nstream import synthesize_dataset, _video_subjects
 from ip_avsr_tpu.data import preprocessing as pp
 from ip_avsr_tpu.io import matio
@@ -88,11 +90,8 @@ def main(argv=None):
     vis_X = pp.normalize_input(vis_X.copy())
 
     if args.synthetic:
-        subj = np.unique(subjects)
-        n = len(subj)
-        train_ids = subj[: max(1, int(0.6 * n))]
-        val_ids = subj[max(1, int(0.6 * n)) : max(2, int(0.8 * n))]
-        test_ids = subj[max(2, int(0.8 * n)) :]
+        train_ids, val_ids, test_ids = \
+            config_lib.synthetic_subject_split(subjects)
     else:
         train_ids = matio.read_data_split_file(args.train_subjects_file)
         val_ids = matio.read_data_split_file(args.val_subjects_file)

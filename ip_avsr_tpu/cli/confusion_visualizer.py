@@ -27,7 +27,7 @@ import numpy as np
 from ip_avsr_tpu.cli import nstream
 from ip_avsr_tpu.data.datagen import PaddedDataset
 from ip_avsr_tpu.io import matio
-from ip_avsr_tpu.models import adenet, zoo
+from ip_avsr_tpu.models import adenet
 from ip_avsr_tpu.ops.voting import masked_majority_vote
 from ip_avsr_tpu.train import config as config_lib
 from ip_avsr_tpu.train.evaluation import plot_confusion_matrix
@@ -66,24 +66,8 @@ def main(argv=None):
     stream_cfgs = config_lib.parse_streams(cp)
     clf = config_lib.parse_classifier(cp)
     dims = [s.input_dimensions for s in stream_cfgs]
-    encoders = [(s.nonlinearities, s.shape) if s.shape and s.use_encoder else None
-                for s in stream_cfgs]
-    if len(stream_cfgs) == 1 and encoders[0] is not None:
-        cfg = zoo.deltanet_majority_vote(dims[0], encoders[0][1], encoders[0][0],
-                                         lstm_size=clf.lstm_size,
-                                         window=clf.windowsize,
-                                         output_classes=clf.output_classes,
-                                         use_blstm=clf.use_blstm)
-    elif len(stream_cfgs) == 1:
-        cfg = zoo.lstm_classifier_majority_vote(dims[0], lstm_size=clf.lstm_size,
-                                                output_classes=clf.output_classes,
-                                                use_blstm=clf.use_blstm)
-    else:
-        cfg = zoo.adenet_nstream(dims, encoders, lstm_size=clf.lstm_size,
-                                 window=clf.windowsize,
-                                 output_classes=clf.output_classes,
-                                 fusiontype=clf.fusiontype,
-                                 use_peepholes=clf.use_peepholes)
+    # shared with nstream/demo so a trained model rebuilds identically
+    cfg = config_lib.build_model_config(stream_cfgs, clf)
 
     if args.model:
         params = matio.load_model_params(args.model)

@@ -50,8 +50,9 @@ def main(argv=None):
         if "encoder" not in streams[args.encoder_stream]:
             ap.error(f"stream '{args.encoder_stream}' has no encoder")
         enc = streams[args.encoder_stream]["encoder"]
-        names = sorted(enc.keys(), key=lambda n: ({"fc1": 0, "fc2": 1, "fc3": 2,
-                                                   "bottleneck": 3}.get(n, 99), n))
+        from ip_avsr_tpu.models.encoder import _layer_sort_key
+
+        names = sorted(enc.keys(), key=_layer_sort_key)
         for i, name in enumerate(names, 1):
             out[f"w{i}"] = np.asarray(enc[name]["w"])
             out[f"b{i}"] = np.asarray(enc[name]["b"]).reshape(1, -1)

@@ -25,7 +25,7 @@ import numpy as np
 
 from ip_avsr_tpu.data import preprocessing as pp
 from ip_avsr_tpu.io import matio
-from ip_avsr_tpu.models import adenet, zoo
+from ip_avsr_tpu.models import adenet
 from ip_avsr_tpu.ops.nonlinearities import select_nonlinearity  # noqa: F401 (registry check)
 from ip_avsr_tpu.train import config as config_lib
 from ip_avsr_tpu.train.evaluation import plot_confusion_matrix
@@ -175,11 +175,8 @@ def main(argv=None):
                                  test_streams, test_y, test_lens)
 
     if options.synthetic:
-        subj_ids = np.unique(subjects_vec)
-        n = len(subj_ids)
-        train_ids = subj_ids[: max(1, int(0.6 * n))]
-        val_ids = subj_ids[max(1, int(0.6 * n)) : max(2, int(0.8 * n))]
-        test_ids = subj_ids[max(2, int(0.8 * n)) :]
+        train_ids, val_ids, test_ids = \
+            config_lib.synthetic_subject_split(subjects_vec)
     else:
         train_ids = matio.read_data_split_file(tc.train_subjects_file)
         val_ids = matio.read_data_split_file(tc.val_subjects_file)
@@ -234,41 +231,13 @@ def _train_and_report(options, clf, tc, stream_cfgs,
             encoders.append(None)
             pretrained.append(None)
 
-    dims = [sc.input_dimensions for sc in stream_cfgs]
-    if len(stream_cfgs) == 1:
-        if encoders[0] is not None:
-            model_cfg = zoo.deltanet_majority_vote(
-                dims[0], encoders[0][1], encoders[0][0], lstm_size=clf.lstm_size,
-                window=clf.windowsize, output_classes=clf.output_classes,
-                w_init=clf.weight_init, use_peepholes=clf.use_peepholes,
-                use_blstm=clf.use_blstm)
-        else:
-            model_cfg = zoo.lstm_classifier_majority_vote(
-                dims[0], lstm_size=clf.lstm_size, output_classes=clf.output_classes,
-                w_init=clf.weight_init, use_peepholes=clf.use_peepholes,
-                use_blstm=clf.use_blstm)
-        if not stream_cfgs[0].use_delta:
-            # unimodal_nodelta / 1stream nodelta ablation
-            from ip_avsr_tpu.models.adenet import AdeNetConfig, StreamSpec
-
-            streams = [StreamSpec(**{**model_cfg.streams[0].__dict__,
-                                     "use_delta": False})]
-            model_cfg = AdeNetConfig(**{**model_cfg.__dict__, "streams": streams})
-    else:
-        model_cfg = zoo.adenet_nstream(
-            dims, encoders, lstm_size=clf.lstm_size, window=clf.windowsize,
-            output_classes=clf.output_classes, fusiontype=clf.fusiontype,
-            w_init=clf.weight_init, use_peepholes=clf.use_peepholes,
-            stream_dropout=0.5 if clf.use_dropout else 0.0,
-            stream_lstm_multiplier=2 if clf.use_dropout else 1,
-            use_delta=[sc.use_delta for sc in stream_cfgs])
+    # one shared builder for every CLI (config_lib.build_model_config —
+    # demo/confusion_visualizer rebuild the SAME config for a trained model)
+    model_cfg = config_lib.build_model_config(stream_cfgs, clf, encoders)
 
     if tc.matmul_dtype:
         model_cfg = adenet.AdeNetConfig(**{**model_cfg.__dict__,
                                            "matmul_dtype": tc.matmul_dtype})
-    if clf.lstm_remat:
-        model_cfg = adenet.AdeNetConfig(**{**model_cfg.__dict__,
-                                           "lstm_remat": True})
 
     topts = TrainOptions(
         num_epoch=options.num_epoch or tc.num_epoch,

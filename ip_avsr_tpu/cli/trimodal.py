@@ -115,11 +115,8 @@ def main(argv=None):
         val_ids = rest[:max(1, len(rest) // 5)]
         train_ids = rest[max(1, len(rest) // 5):]
     elif args.synthetic:
-        all_subj = np.unique(subjects)
-        n = len(all_subj)
-        train_ids = all_subj[: max(1, int(0.6 * n))]
-        val_ids = all_subj[max(1, int(0.6 * n)) : max(2, int(0.8 * n))]
-        test_ids = all_subj[max(2, int(0.8 * n)) :]
+        train_ids, val_ids, test_ids = \
+            config_lib.synthetic_subject_split(subjects)
     else:
         train_ids = matio.read_data_split_file(train_cfg["train_subjects_file"])
         val_ids = matio.read_data_split_file(train_cfg["val_subjects_file"])

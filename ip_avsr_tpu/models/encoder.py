@@ -55,6 +55,11 @@ def encoder_forward(params: dict, x: jnp.ndarray, nonlinearities: Sequence,
                     names=None, matmul_dtype=None) -> jnp.ndarray:
     """Apply the dense stack to (..., D) inputs."""
     names = names or sorted(params.keys(), key=_layer_sort_key)
+    if len(nonlinearities) != len(names):
+        raise ValueError(
+            f"encoder has {len(names)} layers {list(names)} but "
+            f"{len(nonlinearities)} nonlinearities {list(nonlinearities)} — "
+            f"zip() would silently drop layers")
     out = x
     for name, nl in zip(names, nonlinearities):
         w, b = params[name]["w"], params[name]["b"]
@@ -68,8 +73,14 @@ def encoder_forward(params: dict, x: jnp.ndarray, nonlinearities: Sequence,
 
 
 def _layer_sort_key(name: str):
+    """fc1 < fc2 < fc3 < bottleneck < fc5 < ... < fc10 (init order).  The
+    overflow names sort NUMERICALLY — a plain string sort would put fc10
+    before fc5 and scramble deep stacks."""
     order = {n: i for i, n in enumerate(DEFAULT_NAMES)}
-    return (order.get(name, 99), name)
+    if name in order:
+        return (order[name], 0)
+    digits = "".join(c for c in name if c.isdigit())
+    return (99, int(digits) if digits else 0)
 
 
 def encoder_output_dim(params: dict, names=None) -> int:

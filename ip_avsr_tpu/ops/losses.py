@@ -61,6 +61,10 @@ def categorical_crossentropy_masked(probs: jnp.ndarray, y: jnp.ndarray,
     :func:`temporal_softmax_loss`."""
     p = jnp.take_along_axis(probs, y[:, None].astype(jnp.int32), axis=1)[:, 0]
     w = sample_weight.astype(probs.dtype)
+    # clamp where w == 0: a pad row whose picked-class probability underflows
+    # to exactly 0 in f32 would give 0 * log(0) = NaN (and 0/0 grads),
+    # poisoning the whole step; the clamp leaves weighted rows untouched
+    p = jnp.where(w > 0, p, 1.0)
     num = -jnp.sum(w * jnp.log(p))
     if return_parts:
         return num, jnp.sum(w)

@@ -66,10 +66,18 @@ def trimodal_streams(
     replicating the trimodal host chain (oulu/trimodal_with_val.py:311-339:
     diff images from raw, mean-removed DCT, samplewise-normalized raw/diff)."""
     B, T, D = raw.shape
+    m = mask.astype(raw.dtype)[..., None]
     diff = diff_images(raw)
     dct = compute_dct_features_device(raw.reshape(B * T, D), image_shape,
                                       dct_coeffs).reshape(B, T, dct_coeffs)
     dct = sequencewise_mean_subtract(dct, mask)
     if dct_mean is not None:
         dct = featurewise_normalize(dct, dct_mean, dct_std)
-    return samplewise_normalize(raw), dct, samplewise_normalize(diff)
+        dct = dct * m  # keep pad frames zero after the affine shift
+    # zero every masked position BEFORE normalization: the first pad frame's
+    # diff is -raw[T_valid-1] (a non-zero "ghost"), and samplewise_normalize
+    # would rescale it to unit std — the training pipeline computes diffs
+    # per video host-side and zero-pads, so serve-time features at the last
+    # valid frames' delta windows would otherwise diverge from training
+    return (samplewise_normalize(raw * m) * m, dct,
+            samplewise_normalize(diff * m) * m)

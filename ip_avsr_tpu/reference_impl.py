@@ -36,7 +36,7 @@ _NONLIN = {
 
 def encoder_forward_np(enc_params: dict, x: np.ndarray, nonlinearities) -> np.ndarray:
     names = sorted(enc_params.keys(), key=lambda n: ({"fc1": 0, "fc2": 1, "fc3": 2,
-                                                      "bottleneck": 3}.get(n, 99), n))
+                                                      "bottleneck": 3}.get(n, 99), int("".join(c for c in n if c.isdigit()) or 0)))
     out = x
     for name, nl in zip(names, nonlinearities):
         out = _NONLIN[nl](out @ np.asarray(enc_params[name]["w"])

@@ -16,8 +16,7 @@ import jax.numpy as jnp
 
 from ip_avsr_tpu.models import adenet
 from ip_avsr_tpu.ops import pipeline
-from ip_avsr_tpu.ops.voting import (majority_voting_layer,
-                                    majority_voting_layer_masked)
+from ip_avsr_tpu.ops.voting import majority_voting_layer_masked
 
 
 def make_trimodal_server(
@@ -41,7 +40,11 @@ def make_trimodal_server(
         out = adenet.adenet_forward(params, config, list(streams), mask, train=False)
         if out.ndim == 3:  # per-step head -> majority vote on device
             if vote:
-                return majority_voting_layer(out, config.output_classes)
+                # MASKED vote: the caller supplies a mask, so padded frames
+                # must not cast votes (a padded utterance's constant pad-tail
+                # argmax would otherwise outvote the real frames)
+                return majority_voting_layer_masked(out, mask,
+                                                    config.output_classes)
             return out
         return out
 
@@ -55,7 +58,9 @@ def make_server(params: dict, config: adenet.AdeNetConfig, vote: bool = True):
     def serve(streams, mask):
         out = adenet.adenet_forward(params, config, list(streams), mask, train=False)
         if out.ndim == 3 and vote:
-            return majority_voting_layer(out, config.output_classes)
+            # masked: padded frames must not vote (see make_trimodal_server)
+            return majority_voting_layer_masked(out, mask,
+                                                config.output_classes)
         return out
 
     return serve

@@ -186,3 +186,65 @@ def parse_legacy_config(cp: configparser.ConfigParser) -> dict:
            "models": dict(cp.items("models")) if cp.has_section("models") else {},
            "training": dict(cp.items("training")) if cp.has_section("training") else {}}
     return out
+
+
+def build_model_config(stream_cfgs, clf: "ClassifierConfig", encoders=None):
+    """One shared (stream configs, classifier config) -> AdeNetConfig builder.
+
+    The single authoritative model-selection logic for every CLI — nstream
+    (training), demo, and confusion_visualizer previously re-implemented it
+    and drifted (demo dropped w_init/use_peepholes, so a peephole-trained
+    model rebuilt WITHOUT peepholes and its params failed to load).
+
+    ``encoders[i]`` is None or ``(nonlinearities, shapes)`` for stream i;
+    defaults to what the stream configs declare (fresh-init shapes — pass
+    explicitly when pretrained weights determine them, as nstream does).
+    """
+    import dataclasses as _dc
+
+    from ip_avsr_tpu.models import zoo
+
+    if encoders is None:
+        encoders = [(s.nonlinearities, s.shape) if s.shape and s.use_encoder
+                    else None for s in stream_cfgs]
+    dims = [s.input_dimensions for s in stream_cfgs]
+    if len(stream_cfgs) == 1:
+        if encoders[0] is not None:
+            cfg = zoo.deltanet_majority_vote(
+                dims[0], encoders[0][1], encoders[0][0],
+                lstm_size=clf.lstm_size, window=clf.windowsize,
+                output_classes=clf.output_classes, w_init=clf.weight_init,
+                use_peepholes=clf.use_peepholes, use_blstm=clf.use_blstm)
+        else:
+            cfg = zoo.lstm_classifier_majority_vote(
+                dims[0], lstm_size=clf.lstm_size,
+                output_classes=clf.output_classes, w_init=clf.weight_init,
+                use_peepholes=clf.use_peepholes, use_blstm=clf.use_blstm)
+        if not stream_cfgs[0].use_delta:
+            # unimodal_nodelta / 1stream nodelta ablation
+            streams = [_dc.replace(cfg.streams[0], use_delta=False)]
+            cfg = _dc.replace(cfg, streams=streams)
+    else:
+        cfg = zoo.adenet_nstream(
+            dims, encoders, lstm_size=clf.lstm_size, window=clf.windowsize,
+            output_classes=clf.output_classes, fusiontype=clf.fusiontype,
+            w_init=clf.weight_init, use_peepholes=clf.use_peepholes,
+            stream_dropout=0.5 if clf.use_dropout else 0.0,
+            stream_lstm_multiplier=2 if clf.use_dropout else 1,
+            use_delta=[s.use_delta for s in stream_cfgs])
+    if clf.lstm_remat:
+        cfg = _dc.replace(cfg, lstm_remat=True)
+    return cfg
+
+
+def synthetic_subject_split(subjects_vec):
+    """The 60/20/20 unique-subject split every --synthetic CLI run uses
+    (one implementation instead of five copies)."""
+    import numpy as _np
+
+    subj_ids = _np.unique(subjects_vec)
+    n = len(subj_ids)
+    train_ids = subj_ids[: max(1, int(0.6 * n))]
+    val_ids = subj_ids[max(1, int(0.6 * n)) : max(2, int(0.8 * n))]
+    test_ids = subj_ids[max(2, int(0.8 * n)) :]
+    return train_ids, val_ids, test_ids

@@ -493,7 +493,8 @@ class Trainer:
                 jnp.asarray(y) if y is not None else None,
                 jnp.asarray(mask))
 
-    def evaluate(self, params, streams, y, mask, eval_batchsize: int = 512):
+    def evaluate(self, params, streams, y, mask, eval_batchsize: int = 512,
+                 dev=None):
         """Classification rate + confusion matrix over a split.
 
         Runs prediction in fixed-size chunks (padded to ``eval_batchsize``)
@@ -501,11 +502,26 @@ class Trainer:
         of one giant whole-split program (the reference evaluates the whole
         split in a single batch, runners/4stream.py:370-389 — fine for its
         dataset sizes, not for production-scale ones).
+
+        ``dev`` optionally supplies the already-device-resident
+        ``(dev_streams, dev_y, dev_mask)`` for the whole split (what fit()
+        caches as val_dev), skipping a full-split h2d re-upload per call.
         """
         n = len(mask)
         if self.options.device_eval or jax.process_count() > 1:
             return self._evaluate_on_device(params, streams, y, mask,
-                                            eval_batchsize)
+                                            eval_batchsize, dev=dev)
+        if dev is not None and n <= eval_batchsize:
+            dev_streams, _, dev_mask = dev
+            probs = np.asarray(self.predict(params, dev_streams, dev_mask))[:n]
+            valid = np.asarray(mask).sum(axis=1) > 0
+            if self.config.output_mode == "per_step":
+                cr, conf, _ = evaluation.evaluate_majority_vote(
+                    probs[valid], np.asarray(y)[valid], np.asarray(mask)[valid])
+            else:
+                cr, conf, _ = evaluation.evaluate_last_step(
+                    probs[valid], np.asarray(y)[valid])
+            return cr, conf
         if n > eval_batchsize:
             chunks = []
             for start in range(0, n, eval_batchsize):
@@ -534,7 +550,7 @@ class Trainer:
         return cr, conf
 
     def _evaluate_on_device(self, params, streams, y, mask,
-                            eval_batchsize: int = 512):
+                            eval_batchsize: int = 512, dev=None):
         """Whole-split evaluation without gathering predictions to the host:
         chunks run through the jitted device-side vote+confusion, only the
         replicated (C, C) counts come back.  The multi-process path REQUIRES
@@ -543,6 +559,11 @@ class Trainer:
         C*C floats instead of B*T*C probabilities)."""
         n = len(mask)
         C = self.config.output_classes
+        if dev is not None and n <= eval_batchsize:
+            dev_streams, dev_y, dev_mask = dev
+            conf = np.asarray(self.eval_confusion(params, dev_streams, dev_y,
+                                                  dev_mask)).astype(np.float64)
+            return evaluation.cr_from_confusion(conf), conf.astype(np.int64)
         conf = np.zeros((C, C), np.float64)
         for start in range(0, n, eval_batchsize):
             sl = slice(start, start + eval_batchsize)
@@ -568,13 +589,27 @@ class Trainer:
         test_data: tuple,
     ) -> TrainResult:
         o = self.options
-        rng = np.random.RandomState(o.seed)
-        jrng = jax.random.PRNGKey(o.seed)
-
+        # process-global debug/profiling state is scoped to THIS fit: the
+        # debug-nans flag is restored (it would otherwise slow and
+        # FloatingPointError-arm every later computation in the process) and
+        # the profiler trace is stopped even when training raises
+        prev_nans = bool(jax.config.jax_debug_nans)
         if o.check_nans:
             jax.config.update("jax_debug_nans", True)
         if o.profile_dir:
             jax.profiler.start_trace(o.profile_dir)
+        try:
+            return self._fit_impl(train_data, val_data, test_data)
+        finally:
+            if o.profile_dir:
+                jax.profiler.stop_trace()
+            if o.check_nans:
+                jax.config.update("jax_debug_nans", prev_nans)
+
+    def _fit_impl(self, train_data, val_data, test_data) -> TrainResult:
+        o = self.options
+        rng = np.random.RandomState(o.seed)
+        jrng = jax.random.PRNGKey(o.seed)
 
         if o.bucket_boundaries is not None:
             bounds = (None if o.bucket_boundaries == "auto"
@@ -586,6 +621,16 @@ class Trainer:
             o.log_fn(f"bucketed batches: boundaries={train_ds.boundaries}, "
                      f"padded-frame fraction {train_ds.padded_frame_fraction():.3f} "
                      f"(global-max padding: {global_waste:.3f})")
+            n_trunc = int(np.sum(lens > train_ds.boundaries[-1]))
+            if n_trunc:
+                # no silent caps: explicit boundaries below the corpus max
+                # TRUNCATE those sequences' training frames (val/test stay
+                # full length) — say so loudly
+                o.log_fn(
+                    f"WARNING: {n_trunc} training sequences exceed the last "
+                    f"bucket boundary {train_ds.boundaries[-1]} (max length "
+                    f"{int(lens.max())}) and are TRUNCATED to it; raise "
+                    f"bucket_boundaries to keep their full length")
         else:
             train_ds = PaddedDataset(train_data[0], train_data[1], train_data[2],
                                      max_timesteps=self._sp_max_t(train_data[2]))
@@ -626,6 +671,13 @@ class Trainer:
         val_streams, val_y, val_mask = val_ds.gather(np.arange(val_ds.n))
         test_streams, test_y, test_mask = test_ds.gather(np.arange(test_ds.n))
         val_dev = self._device_batch(val_streams, val_y, val_mask)
+        test_dev_cache = []  # built on first use (best-val epochs only)
+
+        def test_dev():
+            if not test_dev_cache:
+                test_dev_cache.append(
+                    self._device_batch(test_streams, test_y, test_mask))
+            return test_dev_cache[0]
 
         cost_train = list(np.asarray(restored_extra.get("cost_train", [])).reshape(-1))
         cost_val = list(np.asarray(restored_extra.get("cost_val", [])).reshape(-1))
@@ -737,12 +789,14 @@ class Trainer:
                   if strip_min > 0 else 0.0)
             pq = gl / pk if pk != 0 else 0.0
 
-            cr, _ = self.evaluate(params, val_streams, val_y, val_mask)
+            cr, _ = self.evaluate(params, val_streams, val_y, val_mask,
+                                  dev=val_dev)
             class_rate.append(cr)
 
             if val_cost < best_val:
                 best_val, best_cr = val_cost, cr
-                test_cr, test_conf = self.evaluate(params, test_streams, test_y, test_mask)
+                test_cr, test_conf = self.evaluate(
+                    params, test_streams, test_y, test_mask, dev=test_dev())
                 best_params = jax.tree_util.tree_map(np.asarray, params)
                 o.log_fn(
                     f"Epoch {epoch + 1} train cost = {cost:.6f}, val cost = {val_cost:.6f}, "
@@ -772,11 +826,9 @@ class Trainer:
             if o.decay_start is not None and epoch + 1 >= o.decay_start and o.decay_rate:
                 lr = lr * (1.0 - o.decay_rate)
 
-        if o.profile_dir:
-            jax.profiler.stop_trace()
-
         if test_conf is None:
-            test_cr, test_conf = self.evaluate(params, test_streams, test_y, test_mask)
+            test_cr, test_conf = self.evaluate(
+                params, test_streams, test_y, test_mask, dev=test_dev())
         return TrainResult(best_params, best_val, best_cr, test_cr, test_conf,
                            cost_train, cost_val, class_rate, epochs_run)
 

@@ -186,3 +186,41 @@ def test_pipelined_server_matches_sync_and_preserves_order():
         assert len(got) == len(want)
         for g, w in zip(got, want):
             np.testing.assert_allclose(g, w, rtol=1e-6, atol=1e-7)
+
+
+def test_server_vote_ignores_padding():
+    """make_server/make_trimodal_server votes are MASKED (review r3): a
+    padded request must score identically to the exact-length request —
+    previously the constant pad-tail argmax could outvote the real frames."""
+    cfg = zoo.lstm_classifier_majority_vote(6, lstm_size=4, output_classes=3)
+    params = adenet.init_adenet_params(jax.random.PRNGKey(0), cfg)
+    server = serve.make_server(params, cfg)
+    rng = np.random.RandomState(0)
+    T = 5
+    x = rng.randn(1, T, 6).astype(np.float32)
+    exact = np.asarray(server([jnp.asarray(x)], jnp.ones((1, T), jnp.float32)))
+
+    x_pad = np.pad(x, ((0, 0), (0, 20), (0, 0)))
+    mask = np.zeros((1, T + 20), np.float32)
+    mask[0, :T] = 1.0
+    padded = np.asarray(server([jnp.asarray(x_pad)], jnp.asarray(mask)))
+    assert np.argmax(padded) == np.argmax(exact)
+    # vote counts are over valid frames only -> identical score vectors
+    np.testing.assert_allclose(padded, exact, rtol=1e-5, atol=1e-6)
+
+
+def test_trimodal_streams_zero_padded_positions():
+    """trimodal_streams: every masked position is exactly zero in all three
+    streams (the diff stream's first-pad 'ghost' frame previously leaked
+    into the delta windows of the last valid frames)."""
+    rng = np.random.RandomState(1)
+    B, T, D = 2, 8, 24
+    raw = jnp.asarray(rng.rand(B, T, D).astype(np.float32) * 255)
+    mask = np.zeros((B, T), np.float32)
+    mask[0, :5] = 1.0
+    mask[1, :] = 1.0
+    streams = pipeline.trimodal_streams(raw, jnp.asarray(mask), (4, 6), 8)
+    for s in streams:
+        s = np.asarray(s)
+        assert np.all(s[0, 5:] == 0.0), "pad positions must be exactly zero"
+        assert np.abs(s[0, :5]).max() > 0
