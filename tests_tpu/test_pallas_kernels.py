@@ -187,3 +187,26 @@ def test_lstm_peep_train_kernels_dispatch_and_match_on_tpu():
             scale = np.max(np.abs(b2)) + 1e-12
             np.testing.assert_allclose(a2 / scale, b2 / scale, rtol=0,
                                        atol=1e-3, err_msg=f"{k} bwd={bwd}")
+
+
+def test_lstm_remat_grads_match_on_tpu():
+    """lstm_remat (gate-residual rematerialization) gradient equality on
+    real hardware, against the full-residual custom VJP."""
+    rng = np.random.RandomState(0)
+    B, T, D, H = 128, 16, 64, 128
+    params = lstm_ops.init_lstm_params(jax.random.PRNGKey(0), D, H)
+    x = jnp.asarray(rng.randn(B, T, D).astype(np.float32))
+    lens = rng.randint(T // 2, T + 1, B)
+    mask = jnp.asarray((np.arange(T)[None, :] < lens[:, None]).astype(np.float32))
+    gseed = jnp.asarray(rng.randn(B, T, H).astype(np.float32))
+
+    def loss(p, remat):
+        return jnp.sum(lstm_ops.lstm_forward(p, x, mask, remat=remat) * gseed)
+
+    ga = jax.jit(jax.grad(lambda p: loss(p, True)))(params)
+    gb = jax.jit(jax.grad(lambda p: loss(p, False)))(params)
+    for k in ga:
+        a, b = np.asarray(ga[k]), np.asarray(gb[k])
+        scale = np.max(np.abs(b)) + 1e-12
+        np.testing.assert_allclose(a / scale, b / scale, rtol=0, atol=1e-3,
+                                   err_msg=k)
