@@ -329,3 +329,21 @@ def test_dbn_pretrain_export_import_train_roundtrip(tmp_path):
     for i, name in enumerate(["fc1", "fc2", "fc3"]):
         np.testing.assert_allclose(np.asarray(trained_enc[name]["w"]),
                                    np.asarray(w[i], np.float32), rtol=1e-6)
+
+
+def test_nstream_cli_model_and_sequence_parallel(capsys, tmp_path):
+    """The --model_parallel / --sequence_parallel flags drive real Trainer
+    runs end to end on the virtual 8-device mesh."""
+    from ip_avsr_tpu.cli import nstream
+
+    nstream.main(["--config", "configs/synthetic_1stream.ini",
+                  "--synthetic", "24", "--num_epoch", "2",
+                  "--model_parallel", "2"])
+    out = capsys.readouterr().out
+    assert "Epoch 2" in out and "CR" in out
+
+    nstream.main(["--config", "configs/synthetic_1stream.ini",
+                  "--synthetic", "24", "--num_epoch", "2",
+                  "--sequence_parallel", "2"])
+    out = capsys.readouterr().out
+    assert "Epoch 2" in out and "CR" in out
