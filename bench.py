@@ -405,7 +405,6 @@ def main():
     ap.add_argument("--refresh-baseline", action="store_true")
     args = ap.parse_args()
 
-    tiny = False
     if args.quick:
         batches = [args.batch or 512]
         iters = 10
@@ -449,9 +448,10 @@ def main():
         json.dump(cache, open(_CACHE, "w"))
         return v
 
-    cache_key = "tiny" if tiny else "full"
-    baseline = cached(cache_key, lambda: {
-        "utt_per_sec": measure_cpu_reference(batch=16, iters=cpu_iters, tiny=tiny),
+    # key carries the iteration count: a --quick run must not seed the
+    # full run's denominator with a 1-iter noisy sample
+    baseline = cached(f"full_i{cpu_iters}", lambda: {
+        "utt_per_sec": measure_cpu_reference(batch=16, iters=cpu_iters),
         "batch": 16})
     train_baseline = cached("train_cpu", lambda: {
         "utt_per_sec": measure_train_cpu_reference(batch=16, iters=2), "batch": 16})
@@ -498,7 +498,7 @@ def main():
 
     best = 0.0
     for b in batches:
-        tput = measure_tpu(b, iters, tiny=tiny)
+        tput = measure_tpu(b, iters)
         best = max(best, tput)
 
     # HEADLINE metric: keep as the final line

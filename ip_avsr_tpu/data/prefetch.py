@@ -26,6 +26,15 @@ class _End:
 _END = _End()
 
 
+class _Raised:
+    """Sentinel wrapper for a forwarded producer exception — keeps the error
+    channel distinct from the data channel, so an iterator that legitimately
+    YIELDS exception objects still delivers them as values."""
+
+    def __init__(self, exc: BaseException):
+        self.exc = exc
+
+
 def prefetch(iterable: Iterable, buffer_size: int = 2) -> Iterator:
     """Iterate ``iterable`` on a daemon thread, ``buffer_size`` items ahead.
 
@@ -56,7 +65,7 @@ def prefetch(iterable: Iterable, buffer_size: int = 2) -> Iterator:
                 if not _put(item):
                     return
         except BaseException as e:  # noqa: BLE001 — forwarded to the consumer
-            _put(e)
+            _put(_Raised(e))
             return
         _put(_END)
 
@@ -68,8 +77,8 @@ def prefetch(iterable: Iterable, buffer_size: int = 2) -> Iterator:
             item = q.get()
             if item is _END:
                 return
-            if isinstance(item, BaseException):
-                raise item
+            if isinstance(item, _Raised):
+                raise item.exc
             yield item
     finally:
         stop.set()

@@ -59,8 +59,12 @@ def _load_lib():
     with _lib_lock:
         if _lib is not None:
             return _lib
-        if not os.path.exists(_SO):
-            try:
+        src = os.path.join(_DIR, "matread.cc")
+        stale = (not os.path.exists(_SO)
+                 or (os.path.exists(src)
+                     and os.path.getmtime(src) > os.path.getmtime(_SO)))
+        if stale:  # also rebuilds when matread.cc is newer than the .so —
+            try:   # a stale prebuilt binary silently shadowed source fixes
                 subprocess.run(["make", "-C", _DIR], check=True,
                                capture_output=True)
             except Exception:

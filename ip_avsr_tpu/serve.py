@@ -218,6 +218,11 @@ def make_bucketed_server(params: dict, config: adenet.AdeNetConfig,
         scores = inner(padded, mask)
         if scores.ndim == 3 and vote:
             scores = vote_fn(scores, mask)
+        if scores.ndim == 3:
+            # vote=False per-step scores: slice the TIME-bucket padding off
+            # too (those frames don't exist in the request; their softmax
+            # outputs are pad-input artifacts)
+            return scores[:B, :T]
         return scores[:B]
 
     return serve

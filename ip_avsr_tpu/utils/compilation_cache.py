@@ -16,8 +16,10 @@ DEFAULT_DIR = os.path.expanduser("~/.cache/ip_avsr_tpu_xla")
 def enable(cache_dir: str = DEFAULT_DIR) -> None:
     import jax
 
-    os.makedirs(cache_dir, exist_ok=True)
     try:
+        # inside the try: an unwritable HOME (read-only container) must
+        # degrade to uncached compilation, not crash the program
+        os.makedirs(cache_dir, exist_ok=True)
         jax.config.update("jax_compilation_cache_dir", cache_dir)
         # Threshold 0 so every client-side artifact is cached (the axon TPU
         # backend's compile() returns in <1s, under any positive threshold).

@@ -34,8 +34,8 @@ _FLOAT_FIELDS = (
 
 # ffmpeg >= 5 renamed frame timestamp fields (pkt_pts -> pts,
 # pkt_pts_time -> pts_time, pkt_duration -> duration); accept either
-# spelling and expose both attribute names so consumers written against
-# the reference's ffmpeg-4 field set keep working on modern ffprobe.
+# spelling on INPUT and normalize to the legacy pkt_* attribute names the
+# reference-era consumers (data/segmentation.py) read.
 _FIELD_ALIASES = {
     "pts": "pkt_pts", "pts_time": "pkt_pts_time",
     "dts": "pkt_dts", "dts_time": "pkt_dts_time",

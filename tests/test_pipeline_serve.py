@@ -224,3 +224,17 @@ def test_trimodal_streams_zero_padded_positions():
         s = np.asarray(s)
         assert np.all(s[0, 5:] == 0.0), "pad positions must be exactly zero"
         assert np.abs(s[0, :5]).max() > 0
+
+
+def test_bucketed_server_novote_slices_time_padding():
+    """vote=False per-step scores come back at the REQUEST's T, not the
+    time bucket's (review r4: pad-frame softmax artifacts leaked)."""
+    from ip_avsr_tpu import serve as serve_lib
+
+    cfg = zoo.lstm_classifier_majority_vote(6, lstm_size=4, output_classes=3)
+    params = adenet.init_adenet_params(jax.random.PRNGKey(0), cfg)
+    server = serve_lib.make_bucketed_server(params, cfg, batch_buckets=(4,),
+                                            time_buckets=(8,), vote=False)
+    x = np.random.RandomState(0).randn(2, 5, 6).astype(np.float32)
+    scores = np.asarray(server([x], np.array([5, 3])))
+    assert scores.shape == (2, 5, 3)
