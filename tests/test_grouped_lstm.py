@@ -409,3 +409,51 @@ def test_lstm_remat_grads_match_and_save_memory():
 
     full, lean = residual_bytes(False), residual_bytes(True)
     assert lean < 0.65 * full, (lean, full)
+
+
+@pytest.mark.parametrize("peep,remat", [(False, False), (True, False),
+                                        (False, True)])
+def test_lstm_custom_vjp_matches_finite_differences(peep, remat):
+    """Autodiff-INDEPENDENT gradient check: directional derivatives of the
+    custom-VJP LSTM cores against central finite differences of the primal.
+    Every other gradient test compares two autodiff paths (custom VJP vs
+    plain), which would agree on a shared semantic mistake; this one can't.
+    grad_clipping=0: the clip's forward is the identity, so FD measures the
+    TRUE gradient, which clipping deliberately alters."""
+    rng = np.random.RandomState(0)
+    B, T, D, H = 2, 5, 3, 4
+    params = lstm.init_lstm_params(jax.random.PRNGKey(0), D, H,
+                                   use_peepholes=peep)
+    x = jnp.asarray(rng.randn(B, T, D).astype(np.float32))
+    mask = np.ones((B, T), np.float32)
+    mask[1, 3:] = 0.0
+    mask = jnp.asarray(mask)
+    gseed = jnp.asarray(rng.randn(B, T, H).astype(np.float32))
+
+    leaves, treedef = jax.tree_util.tree_flatten(params)
+
+    def loss_flat(flat_vals):
+        p = jax.tree_util.tree_unflatten(treedef, flat_vals)
+        out = lstm.lstm_forward(p, x, mask, grad_clipping=0.0, remat=remat)
+        return jnp.sum(out * gseed)
+
+    grads = jax.grad(lambda fv: loss_flat(fv))(leaves)
+    g_vec = np.concatenate([np.asarray(g).ravel() for g in grads])
+
+    sizes = [int(np.prod(l.shape)) for l in leaves]
+    total = sum(sizes)
+    f = lambda vec: float(loss_flat([  # noqa: E731
+        jnp.asarray(vec[sum(sizes[:i]):sum(sizes[:i + 1])])
+        .reshape(leaves[i].shape).astype(jnp.float32)
+        for i in range(len(leaves))]))
+    base = np.concatenate([np.asarray(l).ravel() for l in leaves]).astype(np.float64)
+
+    eps = 1e-3
+    dir_rng = np.random.RandomState(7)
+    for _ in range(5):
+        d = dir_rng.randn(total)
+        d /= np.linalg.norm(d)
+        fd = (f(base + eps * d) - f(base - eps * d)) / (2 * eps)
+        analytic = float(np.dot(g_vec, d))
+        np.testing.assert_allclose(analytic, fd, rtol=2e-2, atol=2e-3,
+                                   err_msg=f"peep={peep} remat={remat}")
