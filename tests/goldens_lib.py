@@ -89,8 +89,61 @@ def compute_preprocessing_goldens() -> dict:
     return out
 
 
+def compute_gradient_goldens() -> dict:
+    """Frozen GRADIENTS for representative training configurations — pins
+    the training numerics (custom-VJP LSTM cores, delta VJP, fusion,
+    losses, BN train stats) against refactors, complementing the forward
+    goldens.  One flattened vector per case (leaf-order stable under the
+    param pytree)."""
+    import jax
+    import jax.numpy as jnp
+
+    from ip_avsr_tpu.models import adenet
+    from ip_avsr_tpu.ops import losses
+    from tests.zoo_cases import ZOO_CASES
+
+    cases = {
+        "adenet_v3": dict(train=True),            # dropout + slice head
+        "adenet_v2": dict(train=True),            # per-step head + temporal loss
+        "deltanet_majority_vote_peep": dict(train=True),  # peephole core
+        "adenet_v1": dict(train=True),            # batch-norm train stats
+    }
+    out = {}
+    for name, kw in cases.items():
+        cfg = ZOO_CASES[name]()
+        params = adenet.init_adenet_params(jax.random.PRNGKey(3), cfg)
+        rng = np.random.RandomState(0)
+        B, T = 3, 9
+        inputs = [jnp.asarray(rng.randn(B, T, s.input_dim).astype(np.float32))
+                  for s in cfg.streams]
+        lens = rng.randint(4, T + 1, B)
+        mask = jnp.asarray((np.arange(T)[None, :] < lens[:, None])
+                           .astype(np.float32))
+        y = jnp.asarray(rng.randint(0, cfg.output_classes, B).astype(np.int32))
+        has_bn = any(s.use_batchnorm for s in cfg.streams)
+
+        def loss_fn(p):
+            o = adenet.adenet_forward(p, cfg, inputs, mask, train=kw["train"],
+                                      dropout_rng=jax.random.PRNGKey(11),
+                                      return_aux=kw["train"] and has_bn)
+            if isinstance(o, tuple):
+                o = o[0]
+            if o.ndim == 3:
+                y2d = jnp.repeat(y[:, None], T, axis=1)
+                return losses.temporal_softmax_loss(o, y2d, mask)
+            w = jnp.sum(mask, axis=1) > 0
+            return losses.categorical_crossentropy_masked(o, y, w)
+
+        grads = jax.grad(loss_fn)(params)
+        flat = np.concatenate([np.asarray(l).ravel()
+                               for l in jax.tree_util.tree_leaves(grads)])
+        out[f"grad/{name}"] = flat.astype(np.float32)
+    return out
+
+
 def compute_all() -> dict:
     out = {}
     out.update(compute_zoo_goldens())
     out.update(compute_preprocessing_goldens())
+    out.update(compute_gradient_goldens())
     return out

@@ -36,7 +36,7 @@ def test_golden_keys_complete():
     assert sorted(_computed()) == sorted(_goldens())
 
 
-@pytest.mark.parametrize("group", ["zoo", "convae", "pp"])
+@pytest.mark.parametrize("group", ["zoo", "convae", "pp", "grad"])
 def test_goldens_stable(group):
     gold = _goldens()
     got = {k: v for k, v in _computed().items() if k.startswith(group + "/")}
