@@ -136,6 +136,9 @@ class TrainResult:
     cost_val: list
     class_rate: list
     epochs_run: int
+    # the learning rate in effect when training ended (after any decay /
+    # NaN-recovery halvings) — lets callers and tests observe the schedule
+    final_lr: float = 0.0
 
 
 class Trainer:
@@ -830,7 +833,8 @@ class Trainer:
             test_cr, test_conf = self.evaluate(
                 params, test_streams, test_y, test_mask, dev=test_dev())
         return TrainResult(best_params, best_val, best_cr, test_cr, test_conf,
-                           cost_train, cost_val, class_rate, epochs_run)
+                           cost_train, cost_val, class_rate, epochs_run,
+                           final_lr=float(lr))
 
     def _sp_max_t(self, seqlens):
         """Padded T for a dataset under sequence parallelism: the max length

@@ -30,11 +30,18 @@ def test_gaussian_filter_normalized():
 
 def test_lecun_lcn_shapes_and_contrast():
     rng = np.random.RandomState(0)
-    x = jnp.asarray(rng.rand(2, 1, 16, 16).astype(np.float32) * 10 + 5)
+    # large dynamic range on purpose: subtractive-only output would keep
+    # std ~30, so the divisive (contrast) stage is actually asserted
+    x = jnp.asarray(rng.rand(2, 1, 16, 16).astype(np.float32) * 100 + 50)
     out = np.asarray(lcn.lecun_lcn(x, kernel_shape=5))
     assert out.shape == (2, 1, 16, 16)
     # local mean removal: output roughly zero-centered
     assert abs(out.mean()) < 0.5
+    # divisive normalization: contrast pulled to O(1) regardless of the
+    # input's scale (review r5: previously unasserted)
+    assert 0.2 < out.std() < 3.0, out.std()
+    centered = np.asarray(x) - np.asarray(x).mean()
+    assert out.std() < 0.2 * centered.std()
 
 
 def test_dct2_orthonormal_roundtrip():
@@ -88,10 +95,21 @@ def test_sde_pretraining_reduces_reconstruction_error():
     weights, biases = sde.train_sde(jax.random.PRNGKey(0), data, [8, 4],
                                     epochs=10, batchsize=32, log_fn=lambda s: None)
     assert [w.shape for w in weights] == [(16, 8), (8, 4)]
-    # codes should preserve prototype structure: reconstruct linearly
-    code = 1 / (1 + np.exp(-(data @ weights[0] + biases[0])))
-    code = code @ weights[1] + biases[1]
-    assert np.isfinite(code).all()
+
+    # the name means it: tied-weight layer-1 reconstruction error must be
+    # clearly below an UNTRAINED same-shape init's (review r5: the previous
+    # assertion only checked finiteness, which random weights satisfy)
+    def tied_recon_err(w, b_enc):
+        code = 1 / (1 + np.exp(-(data @ w + b_enc)))
+        recon = code @ np.asarray(w).T
+        return float(np.mean((recon - data) ** 2))
+
+    from ip_avsr_tpu.ops import initializers as inits
+
+    w_raw = np.asarray(inits.glorot_uniform(jax.random.PRNGKey(123), (16, 8)))
+    err_untrained = tied_recon_err(w_raw, np.zeros(8))
+    err_trained = tied_recon_err(np.asarray(weights[0]), np.asarray(biases[0]))
+    assert err_trained < 0.5 * err_untrained, (err_trained, err_untrained)
 
 
 def test_draw_net_dot(tmp_path):

@@ -70,9 +70,13 @@ def test_can_group():
 def test_adenet_fused_vs_unfused_forward():
     """The model must produce identical outputs with fuse_scans on/off."""
     enc = (("sigmoid", "sigmoid", "linear"), (16, 12, 6))
-    cfg_on = zoo.adenet_v2(20, 8, enc[1], enc[0], lstm_size=6, window=3,
-                           output_classes=7)
-    cfg_off = adenet.AdeNetConfig(**{**cfg_on.__dict__, "fuse_scans": False})
+    base = zoo.adenet_v2(20, 8, enc[1], enc[0], lstm_size=6, window=3,
+                         output_classes=7)
+    # fuse_scans defaults False — set it EXPLICITLY or both configs are the
+    # same program and the grouped path has zero coverage (review r5)
+    cfg_on = adenet.AdeNetConfig(**{**base.__dict__, "fuse_scans": True})
+    cfg_off = adenet.AdeNetConfig(**{**base.__dict__, "fuse_scans": False})
+    assert cfg_on.fuse_scans and not cfg_off.fuse_scans
     params = adenet.init_adenet_params(jax.random.PRNGKey(2), cfg_on)
     rng = np.random.RandomState(0)
     B, T = 3, 8

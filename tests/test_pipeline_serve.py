@@ -236,5 +236,12 @@ def test_bucketed_server_novote_slices_time_padding():
     server = serve_lib.make_bucketed_server(params, cfg, batch_buckets=(4,),
                                             time_buckets=(8,), vote=False)
     x = np.random.RandomState(0).randn(2, 5, 6).astype(np.float32)
-    scores = np.asarray(server([x], np.array([5, 3])))
+    lengths = np.array([5, 3])
+    scores = np.asarray(server([x], lengths))
     assert scores.shape == (2, 5, 3)
+    # and the VALUES are the request's leading frames, matching the plain
+    # server on the padded batch (not e.g. the trailing bucket frames)
+    plain = serve_lib.make_server(params, cfg, vote=False)
+    mask = (np.arange(5)[None, :] < lengths[:, None]).astype(np.float32)
+    want = np.asarray(plain([jnp.asarray(x)], jnp.asarray(mask)))
+    np.testing.assert_allclose(scores, want, rtol=1e-5, atol=1e-6)

@@ -93,19 +93,23 @@ def test_cd1_padded_batch_equals_small_batch():
         tuple(jnp.asarray(r) for r in (0.1, 0.1, 0.1)),
         vl_type="sigm", hl_type="sigm", cd_type=1, batchsize=4)
 
-    # replica on the unpadded batch with the same key requires identical
-    # sampling shapes, so instead verify masked rows contributed nothing:
-    # gradient from data rows only -> weights identical when recomputed with
-    # an all-ones mask over exactly the 4 rows.
+    # the masked pad rows must contribute NOTHING: fill them with garbage
+    # instead of zeros — if any reduction forgot the mask, the weights or
+    # the reconstruction error would shift (the previous version of this
+    # test compared two byte-identical calls — review r5 finding)
+    garbage = padded.copy()
+    garbage[4:] = 1e3 * np.random.RandomState(9).randn(2, 5)
     out_ref, _, err_ref = rbm.cd1_step(
         {k: v.copy() for k, v in state.items()}, {k: v.copy() for k, v in velocity.items()},
-        jnp.asarray(np.concatenate([data_small, np.zeros((2, 5), np.float32)])),
-        jnp.asarray(mask), step_key, jnp.asarray(0.5),
+        jnp.asarray(garbage), jnp.asarray(mask), step_key, jnp.asarray(0.5),
         tuple(jnp.asarray(r) for r in (0.1, 0.1, 0.1)),
         vl_type="sigm", hl_type="sigm", cd_type=1, batchsize=4)
     np.testing.assert_allclose(np.asarray(out_pad["weights"]),
                                np.asarray(out_ref["weights"]), atol=1e-6)
     np.testing.assert_allclose(float(err_pad), float(err_ref), rtol=1e-5)
+    # and the step itself must have moved the weights (non-vacuous)
+    assert np.abs(np.asarray(out_pad["weights"])
+                  - np.asarray(state["weights"])).max() > 0
 
 
 def test_train_rbm_reduces_error():

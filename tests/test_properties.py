@@ -76,7 +76,12 @@ def test_bucketed_dataset_partitions_every_video_once(data):
         total += rows
         bound = ds.boundaries[bucket_id]
         assert mask.shape[1] == bound
-        assert (np.asarray(mask)[:rows].sum(axis=1) <= bound).all()
+        # each real row's mask length EQUALS its video's (bound-clipped)
+        # length — "<= bound" alone is vacuous for any 0/1 mask
+        bucket_lens = np.asarray(ds.buckets[bucket_id].seqlens)[np.asarray(idxs)]
+        np.testing.assert_array_equal(
+            np.asarray(mask)[:rows].sum(axis=1),
+            np.minimum(bucket_lens, bound))
         assert (np.asarray(mask)[rows:].sum(axis=1) == 0).all()  # pad rows
     assert total == len(lens)
 

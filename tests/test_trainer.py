@@ -46,6 +46,8 @@ def test_trainer_learns_synthetic(output_mode):
 
 
 def test_trainer_early_stop_and_decay():
+    """Both named features must be OBSERVED, not just survive (review r5:
+    'epochs_run <= num_epoch' was tautological and decay was unchecked)."""
     X, y, lens = make_synthetic(20)
     cfg = zoo.lstm_classifier_majority_vote(12, lstm_size=8, output_classes=4)
     options = TrainOptions(num_epoch=40, epochsize=2, batchsize=8, learning_rate=0.05,
@@ -53,10 +55,20 @@ def test_trainer_early_stop_and_decay():
                            seed=0, log_fn=lambda s: None)
     trainer = Trainer(cfg, options)
     result = trainer.fit(([X], y, lens), ([X], y, lens), ([X], y, lens))
-    # with an aggressive LR and tiny val window it must stop before 40 epochs
-    # (or at worst run all epochs — just assert the bookkeeping is consistent)
     assert result.epochs_run <= 40
     assert len(result.cost_val) == result.epochs_run
+    # decay actually applied: the first validation_window epochs cannot
+    # early-stop, so at least 3 halvings happened before any break
+    assert result.final_lr <= 0.05 * 0.5 ** 3 + 1e-12, result.final_lr
+
+    # early stopping actually fires: a diverging run (huge adam lr) pushes
+    # val cost above the early best and early_stop2 ends it well before 40
+    bad = TrainOptions(num_epoch=40, epochsize=2, batchsize=8,
+                       learning_rate=3.0, validation_window=3,
+                       seed=0, log_fn=lambda s: None)
+    diverged = Trainer(cfg, bad).fit(([X], y, lens), ([X], y, lens),
+                                     ([X], y, lens))
+    assert diverged.epochs_run < 40, diverged.cost_val
 
 
 def test_trainer_mesh_data_parallel_matches_shapes():
@@ -201,8 +213,11 @@ def test_trainer_bucketed_matches_unbucketed_quality():
                             log_fn=lambda s: None, bucket_boundaries=boundaries)
         results.append(Trainer(cfg, opts).fit(
             ([X], y, lens), ([Xv], yv, lensv), ([Xt], yt, lenst)))
-    assert results[0].best_cr > 0.6
-    assert abs(results[0].best_cr - results[1].best_cr) < 0.35
+    # BOTH runs must learn (review r5: a one-sided 0.35 band let a
+    # chance-level bucketed path pass); identical padding scheme -> close CR
+    assert results[0].best_cr > 0.6, results[0].class_rate
+    assert results[1].best_cr > 0.6, results[1].class_rate
+    assert abs(results[0].best_cr - results[1].best_cr) < 0.2
 
 
 def test_trainer_multihost_single_process_path():
@@ -250,6 +265,15 @@ def test_trainer_recovers_from_nan():
     # the NaN epochs never poison the recorded histories
     assert all(np.isfinite(c) for c in result.cost_train)
     assert all(np.isfinite(c) for c in result.cost_val)
+    # the documented recovery actions actually happened (review r5):
+    # the lr was halved at least once ...
+    assert result.final_lr < opts.learning_rate, result.final_lr
+    # ... and the restored/returned parameters are finite, not the
+    # exploded ones the divergent steps produced
+    import jax
+
+    for leaf in jax.tree_util.tree_leaves(result.best_params):
+        assert np.isfinite(np.asarray(leaf)).all()
 
 
 def test_trainer_device_data_matches_host_path():

@@ -47,11 +47,21 @@ def test_delta_grads_match_xla_on_tpu():
 
 def test_delta_dispatch_under_training_uses_pallas():
     """delta_layer's auto dispatch must pick the kernel for train-sized input
-    and still differentiate (regression for the forward-only-era gating)."""
+    and still differentiate (regression for the forward-only-era gating) —
+    and its values AND gradients must equal the forced-XLA path (finiteness
+    alone would also pass if dispatch regressed to XLA, or if the kernel's
+    VJP were finite-but-wrong; review r5)."""
     x = _delta_input(B=16, T=29, D=256, seed=3)
     assert delta_kernel.should_use_pallas(x, 9)
-    g = jax.grad(lambda v: jnp.sum(delta_ops.delta_layer(v, 9) ** 2))(x)
-    assert np.isfinite(np.asarray(g)).all()
+    out_auto = delta_ops.delta_layer(x, 9)  # dispatches the kernel
+    out_xla = delta_ops.delta_layer(x, 9, use_pallas="never")
+    np.testing.assert_allclose(np.asarray(out_auto), np.asarray(out_xla),
+                               rtol=1e-5, atol=1e-5)
+    g_auto = jax.grad(lambda v: jnp.sum(delta_ops.delta_layer(v, 9) ** 2))(x)
+    g_xla = jax.grad(lambda v: jnp.sum(
+        delta_ops.delta_layer(v, 9, use_pallas="never") ** 2))(x)
+    np.testing.assert_allclose(np.asarray(g_auto), np.asarray(g_xla),
+                               rtol=1e-4, atol=1e-4)
 
 
 def test_lstm_kernel_matches_scan_on_tpu():
