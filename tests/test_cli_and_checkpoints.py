@@ -347,3 +347,34 @@ def test_nstream_cli_model_and_sequence_parallel(capsys, tmp_path):
                   "--sequence_parallel", "2"])
     out = capsys.readouterr().out
     assert "Epoch 2" in out and "CR" in out
+
+
+def test_separate_train_cli_synthetic(capsys):
+    from ip_avsr_tpu.cli import separate_train
+
+    separate_train.main(["--synthetic", "24", "--num_epoch", "1"])
+    out = capsys.readouterr().out
+    assert "Epoch 1" in out or "CR" in out
+
+
+def test_playvid_cli_headless(tmp_path, capsys):
+    """Headless contact-sheet mode over a synthesized mp4."""
+    cv2 = pytest.importorskip("cv2")
+
+    from ip_avsr_tpu.cli import playvid
+
+    vid = tmp_path / "s1_v1_u31.mp4"
+    w = cv2.VideoWriter(str(vid), cv2.VideoWriter_fourcc(*"mp4v"), 10, (64, 48))
+    rng = np.random.RandomState(0)
+    for _ in range(12):
+        w.write((rng.rand(48, 64, 3) * 255).astype(np.uint8))
+    w.release()
+
+    sheets = tmp_path / "sheets"
+    playvid.main([str(vid), "--sheet-dir", str(sheets)])
+    out = capsys.readouterr().out
+    assert "12 frames" in out and "total frames: 12" in out
+    assert (sheets / "s1_v1_u31.png").exists()
+    # missing files are skipped, not fatal
+    playvid.main([str(tmp_path / "nope.mp4"), "--sheet-dir", str(sheets)])
+    assert "missing, skipped" in capsys.readouterr().out
