@@ -101,9 +101,17 @@ class AdeNetConfig:
     # that layer's backward with two large matmuls (ops/lstm.lstm_forward
     # remat) — ~3x less residual memory per recurrent layer, at the cost of
     # one transient recompute per layer.  Pair with sequence_parallel for
-    # long feature streams.  Non-peephole layers only (peephole gates
-    # depend on the carried cell state); no effect at inference.
+    # long feature streams.  Covers peephole layers too (the rebuild needs
+    # only x and hids_prev; the peephole terms come from the saved cell
+    # residuals); no effect at inference.
     lstm_remat: bool = False
+    # HBM-bandwidth lever for the (bandwidth-bound) backward: store each
+    # LSTM's per-step training residual stacks (gates, hids, cells) in this
+    # dtype (e.g. "bfloat16"), halving residual read/write traffic; compute
+    # and gradients stay f32 (ops/lstm.lstm_forward residual_dtype).
+    # Gradients are perturbed at ~bf16 epsilon — tested for gradient
+    # tolerance and optimizer-trajectory argmax stability.  None = f32.
+    lstm_residual_dtype: Optional[str] = None
 
     def stream_lstm_size(self, spec: StreamSpec) -> int:
         return int(spec.lstm_size or self.lstm_size)
@@ -304,7 +312,8 @@ def head_forward(params, config: AdeNetConfig, stream_feats, mask, train,
                                                    matmul_dtype=mmdtype)
         return lstm_ops.lstm_forward(p, feats, m, backwards=backwards,
                                      matmul_dtype=mmdtype,
-                                     remat=config.lstm_remat)
+                                     remat=config.lstm_remat,
+                                     residual_dtype=config.lstm_residual_dtype)
 
     # per-stream LSTMs — grouped into one scan when homogeneous
     lstm_idx = [i for i, s in enumerate(config.streams) if s.use_lstm]

@@ -61,13 +61,16 @@ def encoder_forward(params: dict, x: jnp.ndarray, nonlinearities: Sequence,
             f"{len(nonlinearities)} nonlinearities {list(nonlinearities)} — "
             f"zip() would silently drop layers")
     out = x
+    # accumulate in f32 (MXU-native), widened to f64 when the compute dtype
+    # is f64 (the finite-difference validation suite runs the model at x64)
+    acc = jnp.promote_types(jnp.float32, x.dtype)
     for name, nl in zip(names, nonlinearities):
         w, b = params[name]["w"], params[name]["b"]
         if matmul_dtype is not None:
             y = jnp.dot(out.astype(matmul_dtype), w.astype(matmul_dtype),
-                        preferred_element_type=jnp.float32)
+                        preferred_element_type=acc)
         else:
-            y = jnp.dot(out, w, preferred_element_type=jnp.float32)
+            y = jnp.dot(out, w, preferred_element_type=acc)
         out = select_nonlinearity(nl)(y + b)
     return out
 

@@ -34,6 +34,13 @@ import jax.numpy as jnp
 from ip_avsr_tpu.ops import initializers as inits
 
 
+def _acc(compute_dtype):
+    """Matmul accumulation dtype: f32 for f32/bf16 compute (MXU-native),
+    widened to f64 when the compute dtype is f64 — so the finite-difference
+    validation suite can run the whole model at double precision."""
+    return jnp.promote_types(jnp.float32, compute_dtype)
+
+
 # ---------------------------------------------------------------------------
 # Elementwise gradient clipping (theano.gradient.grad_clip equivalent)
 # ---------------------------------------------------------------------------
@@ -108,6 +115,7 @@ def lstm_forward(
     matmul_dtype=None,
     use_custom_vjp: bool = True,
     remat: bool = False,
+    residual_dtype=None,
 ) -> jnp.ndarray:
     """Run a masked LSTM over ``x`` (B, T, D); returns hidden states (B, T, H).
 
@@ -122,16 +130,29 @@ def lstm_forward(
     measured ~1.5x faster full-train-step on v5e.  ``use_custom_vjp=False``
     forces plain autodiff (kept for gradient-equality tests).
 
-    ``remat=True`` (non-peephole) drops the (T, B, 4H) pre-activation gates
-    from the training residuals — the dominant activation tensor — and
-    recomputes them at the START of the backward with two large MXU matmuls
+    ``remat=True`` drops the (T, B, 4H) pre-activation gates from the
+    training residuals — the dominant activation tensor — and recomputes
+    them at the START of the backward with two large MXU matmuls
     (``x @ W_in`` and ``hids_prev @ W_hid``; the recurrence itself is never
     re-run).  Residual memory per layer falls from ~6H to ~2H floats/step,
     and the recomputed tensor is transient (alive only during that layer's
     backward) instead of held across the whole forward+backward.  This is
     the long-sequence memory lever that pairs with sequence parallelism
     (docs/SCALING.md); gradients are numerically equal up to matmul
-    reduction order (tested).
+    reduction order (tested).  Works for peephole layers too: the peephole
+    terms enter the gates inside the backward's activation recompute from
+    the SAVED cell residuals, so the rebuilt pre-peephole gates need only
+    x and hids_prev — no recurrence dependency.
+
+    ``residual_dtype`` (e.g. jnp.bfloat16) stores the per-step training
+    residual stacks (gates, hids, cells) in that dtype, halving the HBM
+    residual traffic that bounds the (bandwidth-limited) backward pass;
+    compute stays f32 — residuals are upcast as the backward consumes
+    them.  The outputs and all gradients remain f32; only the backward's
+    *inputs* are quantized, perturbing gradients at ~bf16 epsilon
+    (tested: gradient tolerance + optimizer-trajectory argmax stability).
+    Composes with ``remat`` (then only hids/cells are stored, in the
+    reduced dtype).
     """
     B, T, D = x.shape
     H = lstm_params_hidden_size(params)
@@ -145,13 +166,14 @@ def lstm_forward(
     if use_custom_vjp:
         static = (bool(backwards), float(grad_clipping or 0.0),
                   jnp.dtype(matmul_dtype).name if matmul_dtype is not None else None,
-                  bool(remat))
+                  bool(remat),
+                  jnp.dtype(residual_dtype).name if residual_dtype is not None else None)
         if use_peepholes:
-            # peephole gates depend on the carried cell state, so their
-            # recomputation would need the whole recurrence re-run — the
-            # remat option covers the non-peephole cores only
+            # the peephole terms enter the gates inside the backward's
+            # activation recompute (from the saved cell residuals), so the
+            # remat gate rebuild is identical to the non-peephole one
             return _lstm_core_peep(
-                static[:3], params["w_in"], params["w_hid"], params["b"],
+                static, params["w_in"], params["w_hid"], params["b"],
                 params["cell_init"], params["hid_init"],
                 params["w_cell_to_ingate"], params["w_cell_to_forgetgate"],
                 params["w_cell_to_outgate"], x, mask)
@@ -170,7 +192,7 @@ def lstm_forward(
 
     # One MXU-sized matmul for every gate at every timestep.
     x_proj = (
-        jnp.dot(x_mm.reshape(B * T, D), w_in_mm, preferred_element_type=jnp.float32)
+        jnp.dot(x_mm.reshape(B * T, D), w_in_mm, preferred_element_type=_acc(f32))
         .reshape(B, T, 4 * H)
         .astype(f32)
         + b
@@ -187,7 +209,7 @@ def lstm_forward(
         cell_prev, hid_prev = carry
         xp, m = inputs
         hid_mm = hid_prev.astype(w_hid_mm.dtype)
-        gates = xp + jnp.dot(hid_mm, w_hid_mm, preferred_element_type=jnp.float32).astype(f32)
+        gates = xp + jnp.dot(hid_mm, w_hid_mm, preferred_element_type=_acc(f32)).astype(f32)
         if grad_clipping:
             gates = grad_clip(gates, grad_clipping)
         ingate, forgetgate, cell_input, outgate = jnp.split(gates, 4, axis=-1)
@@ -236,6 +258,14 @@ def lstm_forward(
 # VMEM, gate math fused, carry in scratch); the XLA scans are the fallback
 # and the numerical reference.
 
+def _static_extras(static):
+    """(remat, residual_dtype) from the trailing optional static elements."""
+    remat = bool(static[3]) if len(static) > 3 else False
+    resd = (jnp.dtype(static[4]) if len(static) > 4 and static[4] is not None
+            else None)
+    return remat, resd
+
+
 def _pallas_train_ok(B, T, H) -> bool:
     try:
         from ip_avsr_tpu.ops.pallas import lstm_kernel
@@ -261,7 +291,7 @@ def _lstm_prep(static, w_in, w_hid, b, cell_init, hid_init, x, mask):
     x_mm = x.astype(mmdtype) if mmdtype else x
     w_in_mm = w_in.astype(mmdtype) if mmdtype else w_in
     x_proj = (
-        jnp.dot(x_mm.reshape(B * T, D), w_in_mm, preferred_element_type=jnp.float32)
+        jnp.dot(x_mm.reshape(B * T, D), w_in_mm, preferred_element_type=_acc(f32))
         .reshape(B, T, 4 * H)
         .astype(f32)
         + b.astype(f32)
@@ -283,7 +313,7 @@ def _recurrence_scan(x_proj_t, mask_t, cell0, hid0, w_hid_mm, H, f32,
         cell_prev, hid_prev = carry
         xp, m = inputs
         gates = xp + jnp.dot(hid_prev.astype(w_hid_mm.dtype), w_hid_mm,
-                             preferred_element_type=jnp.float32).astype(f32)
+                             preferred_element_type=_acc(f32)).astype(f32)
         i = jax.nn.sigmoid(gates[:, :H])
         f = jax.nn.sigmoid(gates[:, H : 2 * H])
         c_in = jnp.tanh(gates[:, 2 * H : 3 * H])
@@ -306,7 +336,7 @@ def _recurrence_scan(x_proj_t, mask_t, cell0, hid0, w_hid_mm, H, f32,
 
 def _lstm_core_fwd_impl(static, w_in, w_hid, b, cell_init, hid_init, x, mask):
     backwards = static[0]
-    remat = bool(static[3]) if len(static) > 3 else False
+    remat, resd = _static_extras(static)
     x, mask, x_proj, cell0, hid0, w_hid_mm, H, f32 = _lstm_prep(
         static, w_in, w_hid, b, cell_init, hid_init, x, mask)
     B, T = x.shape[0], x.shape[1]
@@ -334,6 +364,11 @@ def _lstm_core_fwd_impl(static, w_in, w_hid, b, cell_init, hid_init, x, mask):
     out = jnp.transpose(hids, (1, 0, 2))
     if backwards:
         out = jnp.flip(out, axis=1)
+    if resd is not None:
+        # quantize the per-step residual stacks only (output stays f32)
+        hids = hids.astype(resd)
+        cells = cells.astype(resd)
+        gates_pre = gates_pre.astype(resd)
     # x and mask stored time-FORWARD-of-scan (i.e. already flipped when
     # backwards); the bwd pass mirrors the flips on the way out.  b /
     # cell_init / hid_init ride along so the bwd can return cotangents in
@@ -389,13 +424,18 @@ def _lstm_core_fwd(static, w_in, w_hid, b, cell_init, hid_init, x, mask):
 
 def _lstm_core_bwd(static, residuals, g_out):
     backwards, grad_clipping, md = static[:3]
-    remat = bool(static[3]) if len(static) > 3 else False
+    remat, resd = _static_extras(static)
     mmdtype = jnp.dtype(md) if md else None
     (w_in, w_hid, b_p, cell_init_p, hid_init_p, x, mask, hids, cells,
      gates_pre, cell0, hid0) = residuals
     T, B, H = hids.shape
     D = x.shape[-1]
     f32 = x.dtype
+    if resd is not None:
+        # upcast the quantized residual stacks; all backward math stays f32
+        hids = hids.astype(f32)
+        cells = cells.astype(f32)
+        gates_pre = gates_pre.astype(f32)
     if backwards:
         g_out = jnp.flip(g_out, axis=1)
     g_out_t = jnp.transpose(g_out, (1, 0, 2))  # (T, B, H)
@@ -412,11 +452,11 @@ def _lstm_core_bwd(static, residuals, g_out):
         x_tm = jnp.transpose(x, (1, 0, 2)).reshape(T * B, D)
         x_mm = x_tm.astype(mmdtype) if mmdtype else x_tm
         w_in_mm = w_in.astype(mmdtype) if mmdtype else w_in
-        xp = (jnp.dot(x_mm, w_in_mm, preferred_element_type=jnp.float32)
+        xp = (jnp.dot(x_mm, w_in_mm, preferred_element_type=_acc(f32))
               .astype(f32).reshape(T, B, 4 * H) + b_p.astype(f32))
         hp_mm = hids_prev.reshape(T * B, H)
         hp_mm = hp_mm.astype(mmdtype) if mmdtype else hp_mm
-        rec = (jnp.dot(hp_mm, w_hid_mm, preferred_element_type=jnp.float32)
+        rec = (jnp.dot(hp_mm, w_hid_mm, preferred_element_type=_acc(f32))
                .astype(f32).reshape(T, B, 4 * H))
         gates_pre = xp + rec
 
@@ -444,7 +484,7 @@ def _lstm_core_bwd(static, residuals, g_out):
         if grad_clipping:
             dgates = jnp.clip(dgates, -grad_clipping, grad_clipping)
         dg_mm = dgates.astype(mmdtype) if mmdtype else dgates
-        dhid_prev = (jnp.dot(dg_mm, w_hid_mm.T, preferred_element_type=jnp.float32)
+        dhid_prev = (jnp.dot(dg_mm, w_hid_mm.T, preferred_element_type=_acc(f32))
                      .astype(f32) + (1.0 - m) * dhid_total)
         dcell_prev = dcell_cand * f + (1.0 - m) * dcell_next
         return (dcell_prev, dhid_prev), dgates
@@ -468,17 +508,17 @@ def _lstm_core_bwd(static, residuals, g_out):
     if mmdtype:
         dg_mm = dg_flat.astype(mmdtype)
         dw_hid = jnp.dot(hp_flat.astype(mmdtype).T, dg_mm,
-                         preferred_element_type=jnp.float32).astype(w_hid.dtype)
+                         preferred_element_type=_acc(f32)).astype(w_hid.dtype)
         dw_in = jnp.dot(x_flat.astype(mmdtype).T, dg_mm,
-                        preferred_element_type=jnp.float32).astype(w_in.dtype)
+                        preferred_element_type=_acc(f32)).astype(w_in.dtype)
         dx = (jnp.dot(dg_mm, w_in.astype(mmdtype).T,
-                      preferred_element_type=jnp.float32).astype(f32))
+                      preferred_element_type=_acc(f32)).astype(f32))
     else:
         dw_hid = jnp.dot(hp_flat.T, dg_flat,
-                         preferred_element_type=jnp.float32).astype(w_hid.dtype)
+                         preferred_element_type=_acc(f32)).astype(w_hid.dtype)
         dw_in = jnp.dot(x_flat.T, dg_flat,
-                        preferred_element_type=jnp.float32).astype(w_in.dtype)
-        dx = jnp.dot(dg_flat, w_in.T, preferred_element_type=jnp.float32).astype(f32)
+                        preferred_element_type=_acc(f32)).astype(w_in.dtype)
+        dx = jnp.dot(dg_flat, w_in.T, preferred_element_type=_acc(f32)).astype(f32)
     db = dg_flat.sum(axis=0).astype(b_p.dtype)
     dx = jnp.transpose(dx.reshape(T, B, D), (1, 0, 2))
     if backwards:
@@ -509,7 +549,7 @@ def _peep_recurrence_scan(x_proj_t, mask_t, cell0, hid0, w_hid_mm, w_ci, w_cf,
         cell_prev, hid_prev = carry
         xp, m = inputs
         gates = xp + jnp.dot(hid_prev.astype(w_hid_mm.dtype), w_hid_mm,
-                             preferred_element_type=jnp.float32).astype(f32)
+                             preferred_element_type=_acc(f32)).astype(f32)
         i = jax.nn.sigmoid(gates[:, :H] + cell_prev * w_ci)
         f = jax.nn.sigmoid(gates[:, H : 2 * H] + cell_prev * w_cf)
         c_in = jnp.tanh(gates[:, 2 * H : 3 * H])
@@ -518,7 +558,12 @@ def _peep_recurrence_scan(x_proj_t, mask_t, cell0, hid0, w_hid_mm, w_ci, w_cf,
         hid_cand = o * jnp.tanh(cell_cand)
         cell = m * cell_cand + (1.0 - m) * cell_prev
         hid = m * hid_cand + (1.0 - m) * hid_prev
-        out = (hid, cell, gates) if collect_residuals else hid
+        if collect_residuals == "hc":
+            out = (hid, cell)
+        elif collect_residuals:
+            out = (hid, cell, gates)
+        else:
+            out = hid
         return (cell, hid), out
 
     (_, _), ys = jax.lax.scan(step, (cell0, hid0), (x_proj_t, mask_t))
@@ -528,13 +573,22 @@ def _peep_recurrence_scan(x_proj_t, mask_t, cell0, hid0, w_hid_mm, w_ci, w_cf,
 def _lstm_core_peep_fwd_impl(static, w_in, w_hid, b, cell_init, hid_init,
                              w_ci, w_cf, w_co, x, mask):
     backwards = static[0]
+    remat, resd = _static_extras(static)
     x, mask, x_proj, cell0, hid0, w_hid_mm, H, f32 = _lstm_prep(
         static, w_in, w_hid, b, cell_init, hid_init, x, mask)
     B, T = x.shape[0], x.shape[1]
     x_proj_t = jnp.transpose(x_proj, (1, 0, 2))
     mask_t = jnp.transpose(mask, (1, 0))[..., None]
 
-    if _pallas_train_ok(B, T, H):
+    if remat:
+        # like the non-peephole remat: the saved residuals are the PRE-
+        # peephole stacked gates' inputs (x, hids_prev) — the backward's
+        # activation recompute adds the peephole terms from the saved cells
+        hids, cells = _peep_recurrence_scan(
+            x_proj_t, mask_t, cell0, hid0, w_hid_mm, w_ci, w_cf, w_co, H, f32,
+            collect_residuals="hc")
+        gates_pre = jnp.zeros((), f32)
+    elif _pallas_train_ok(B, T, H):
         from ip_avsr_tpu.ops.pallas import lstm_kernel
 
         hids, cells, gates_pre = lstm_kernel.lstm_pallas_peep_train(
@@ -547,6 +601,10 @@ def _lstm_core_peep_fwd_impl(static, w_in, w_hid, b, cell_init, hid_init,
     out = jnp.transpose(hids, (1, 0, 2))
     if backwards:
         out = jnp.flip(out, axis=1)
+    if resd is not None:
+        hids = hids.astype(resd)
+        cells = cells.astype(resd)
+        gates_pre = gates_pre.astype(resd)
     residuals = (w_in, w_hid, b, cell_init, hid_init, w_ci, w_cf, w_co, x,
                  mask, hids, cells, gates_pre, cell0, hid0)
     return out, residuals
@@ -593,19 +651,41 @@ def _lstm_core_peep_fwd(static, w_in, w_hid, b, cell_init, hid_init,
 
 
 def _lstm_core_peep_bwd(static, residuals, g_out):
-    backwards, grad_clipping, md = static
+    backwards, grad_clipping, md = static[:3]
+    remat, resd = _static_extras(static)
     mmdtype = jnp.dtype(md) if md else None
     (w_in, w_hid, b_p, cell_init_p, hid_init_p, w_ci, w_cf, w_co, x, mask,
      hids, cells, gates_pre, cell0, hid0) = residuals
     T, B, H = hids.shape
     D = x.shape[-1]
     f32 = x.dtype
+    if resd is not None:
+        hids = hids.astype(f32)
+        cells = cells.astype(f32)
+        gates_pre = gates_pre.astype(f32)
     if backwards:
         g_out = jnp.flip(g_out, axis=1)
     g_out_t = jnp.transpose(g_out, (1, 0, 2))
     mask_t = jnp.transpose(mask, (1, 0))[..., None]
     cells_prev = jnp.concatenate([cell0[None], cells[:-1]], axis=0)
     w_hid_mm = w_hid.astype(mmdtype) if mmdtype else w_hid
+    hids_prev_full = jnp.concatenate([hid0[None], hids[:-1]], axis=0)
+
+    if remat:
+        # rebuild the pre-peephole stacked gates exactly as the non-peephole
+        # remat does (x @ W_in + b and hids_prev @ W_hid; no recurrence
+        # re-run — the peephole contributions are added per-gate below from
+        # the saved cells residuals)
+        x_tm = jnp.transpose(x, (1, 0, 2)).reshape(T * B, D)
+        x_mm = x_tm.astype(mmdtype) if mmdtype else x_tm
+        w_in_mm = w_in.astype(mmdtype) if mmdtype else w_in
+        xp = (jnp.dot(x_mm, w_in_mm, preferred_element_type=_acc(f32))
+              .astype(f32).reshape(T, B, 4 * H) + b_p.astype(f32))
+        hp_mm = hids_prev_full.reshape(T * B, H)
+        hp_mm = hp_mm.astype(mmdtype) if mmdtype else hp_mm
+        rec = (jnp.dot(hp_mm, w_hid_mm, preferred_element_type=_acc(f32))
+               .astype(f32).reshape(T, B, 4 * H))
+        gates_pre = xp + rec
 
     def back_step(carry, inputs):
         dcell_next, dhid_next, dw_ci_acc, dw_cf_acc, dw_co_acc = carry
@@ -635,7 +715,7 @@ def _lstm_core_peep_bwd(static, residuals, g_out):
         if grad_clipping:
             dgates = jnp.clip(dgates, -grad_clipping, grad_clipping)
         dg_mm = dgates.astype(mmdtype) if mmdtype else dgates
-        dhid_prev = (jnp.dot(dg_mm, w_hid_mm.T, preferred_element_type=jnp.float32)
+        dhid_prev = (jnp.dot(dg_mm, w_hid_mm.T, preferred_element_type=_acc(f32))
                      .astype(f32) + (1.0 - m) * dhid_total)
         dcell_prev = (dcell_cand * f + di_pre * w_ci + df_pre * w_cf
                       + (1.0 - m) * dcell_next)
@@ -655,24 +735,23 @@ def _lstm_core_peep_bwd(static, residuals, g_out):
             back_step, (zeros, zeros, zh, zh, zh),
             (g_out_t, gates_pre, cells, cells_prev, mask_t), reverse=True)
 
-    hids_prev = jnp.concatenate([hid0[None], hids[:-1]], axis=0)
     dg_flat = dgates_all.reshape(T * B, 4 * H)
-    hp_flat = hids_prev.reshape(T * B, H)
+    hp_flat = hids_prev_full.reshape(T * B, H)
     x_flat = jnp.transpose(x, (1, 0, 2)).reshape(T * B, D)
     if mmdtype:
         dg_mm = dg_flat.astype(mmdtype)
         dw_hid = jnp.dot(hp_flat.astype(mmdtype).T, dg_mm,
-                         preferred_element_type=jnp.float32).astype(w_hid.dtype)
+                         preferred_element_type=_acc(f32)).astype(w_hid.dtype)
         dw_in = jnp.dot(x_flat.astype(mmdtype).T, dg_mm,
-                        preferred_element_type=jnp.float32).astype(w_in.dtype)
+                        preferred_element_type=_acc(f32)).astype(w_in.dtype)
         dx = jnp.dot(dg_mm, w_in.astype(mmdtype).T,
-                     preferred_element_type=jnp.float32).astype(f32)
+                     preferred_element_type=_acc(f32)).astype(f32)
     else:
         dw_hid = jnp.dot(hp_flat.T, dg_flat,
-                         preferred_element_type=jnp.float32).astype(w_hid.dtype)
+                         preferred_element_type=_acc(f32)).astype(w_hid.dtype)
         dw_in = jnp.dot(x_flat.T, dg_flat,
-                        preferred_element_type=jnp.float32).astype(w_in.dtype)
-        dx = jnp.dot(dg_flat, w_in.T, preferred_element_type=jnp.float32).astype(f32)
+                        preferred_element_type=_acc(f32)).astype(w_in.dtype)
+        dx = jnp.dot(dg_flat, w_in.T, preferred_element_type=_acc(f32)).astype(f32)
     db = dg_flat.sum(axis=0).astype(b_p.dtype)
     dx = jnp.transpose(dx.reshape(T, B, D), (1, 0, 2))
     if backwards:
@@ -710,7 +789,7 @@ def _lstm_core_grouped_fwd_impl(static, w_in, w_hid, b, cell0, hid0, x_g, mask_g
     x_proj = jax.lax.dot_general(
         x_mm.reshape(G, B * T, D), w_in_mm,
         dimension_numbers=(((2,), (1,)), ((0,), (0,))),
-        preferred_element_type=jnp.float32,
+        preferred_element_type=_acc(f32),
     ).reshape(G, B, T, 4 * H).astype(f32) + b.astype(f32)[:, None, None, :]
     x_proj_t = jnp.transpose(x_proj, (2, 0, 1, 3))  # (T, G, B, 4H)
 
@@ -720,7 +799,7 @@ def _lstm_core_grouped_fwd_impl(static, w_in, w_hid, b, cell0, hid0, x_g, mask_g
         gates = xp + jax.lax.dot_general(
             hid_prev.astype(w_hid_mm.dtype), w_hid_mm,
             dimension_numbers=(((2,), (1,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32,
+            preferred_element_type=_acc(f32),
         ).astype(f32)
         i = jax.nn.sigmoid(gates[..., :H])
         f = jax.nn.sigmoid(gates[..., H : 2 * H])
@@ -786,7 +865,7 @@ def _lstm_core_grouped_bwd(static, residuals, g_out):
         dhid_prev = jax.lax.dot_general(
             dg_mm, w_hid_mm,
             dimension_numbers=(((2,), (2,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32,
+            preferred_element_type=_acc(f32),
         ).astype(f32) + (1.0 - m) * dhid_total
         dcell_prev = dcell_cand * f + (1.0 - m) * dcell_next
         return (dcell_prev, dhid_prev), dgates
@@ -807,7 +886,7 @@ def _lstm_core_grouped_bwd(static, residuals, g_out):
             a, bb = a.astype(mmdtype), bb.astype(mmdtype)
         return jax.lax.dot_general(
             a, bb, dimension_numbers=(((1,), (1,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32).astype(out_dtype)
+            preferred_element_type=_acc(f32)).astype(out_dtype)
 
     dw_hid = bmm(hp_flat, dg_flat, w_hid.dtype)  # (G, H, 4H)
     dw_in = bmm(x_flat, dg_flat, w_in.dtype)     # (G, D, 4H)
@@ -816,12 +895,12 @@ def _lstm_core_grouped_bwd(static, residuals, g_out):
         dx = jax.lax.dot_general(
             dg_flat.astype(mmdtype), w_in.astype(mmdtype),
             dimension_numbers=(((2,), (2,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32).astype(f32)
+            preferred_element_type=_acc(f32)).astype(f32)
     else:
         dx = jax.lax.dot_general(
             dg_flat, w_in,
             dimension_numbers=(((2,), (2,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32).astype(f32)
+            preferred_element_type=_acc(f32)).astype(f32)
     dx = dx.reshape(G, T, B, D).transpose(0, 2, 1, 3)  # (G, B, T, D)
     dmask = jnp.zeros_like(mask_g)
     return dw_in, dw_hid, db, dcell0_g, dhid0_g, dx, dmask
@@ -924,7 +1003,7 @@ def lstm_forward_grouped(
     x_proj = jax.lax.dot_general(
         x_mm.reshape(G, B * T, d_max), w_in_mm,
         dimension_numbers=(((2,), (1,)), ((0,), (0,))),
-        preferred_element_type=jnp.float32,
+        preferred_element_type=_acc(f32),
     ).reshape(G, B, T, 4 * H).astype(f32) + b[:, None, None, :]
     x_proj_t = jnp.transpose(x_proj, (2, 0, 1, 3))  # (T, G, B, 4H)
 
@@ -935,7 +1014,7 @@ def lstm_forward_grouped(
         rec = jax.lax.dot_general(
             hid_mm, w_hid_mm,
             dimension_numbers=(((2,), (1,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32,
+            preferred_element_type=_acc(f32),
         ).astype(f32)
         gates = xp + rec
         if grad_clipping:

@@ -56,6 +56,9 @@ class ClassifierConfig:
     # drop the (T, B, 4H) gate residuals and recompute in the backward
     # (models/adenet.AdeNetConfig.lstm_remat — long-sequence memory lever)
     lstm_remat: bool = False
+    # store LSTM training residual stacks in this dtype, e.g. "bfloat16"
+    # (models/adenet.AdeNetConfig.lstm_residual_dtype — HBM-traffic lever)
+    lstm_residual_dtype: Optional[str] = None
 
 
 @dataclasses.dataclass
@@ -147,6 +150,7 @@ def parse_classifier(cp: configparser.ConfigParser) -> ClassifierConfig:
         use_dropout=_getboolean(cp, sec, "use_dropout"),
         use_blstm=_getboolean(cp, sec, "use_blstm", default=True),
         lstm_remat=_getboolean(cp, sec, "lstm_remat"),
+        lstm_residual_dtype=_get(cp, sec, "lstm_residual_dtype"),
     )
 
 
@@ -234,6 +238,8 @@ def build_model_config(stream_cfgs, clf: "ClassifierConfig", encoders=None):
             use_delta=[s.use_delta for s in stream_cfgs])
     if clf.lstm_remat:
         cfg = _dc.replace(cfg, lstm_remat=True)
+    if clf.lstm_residual_dtype:
+        cfg = _dc.replace(cfg, lstm_residual_dtype=clf.lstm_residual_dtype)
     return cfg
 
 

@@ -21,6 +21,23 @@ import numpy as np
 GOLDEN_PATH = __file__.rsplit("/", 1)[0] + "/goldens/goldens.npz"
 
 
+def _init_pinned(init_fn, *args):
+    """Run a param init on the CPU backend and transfer to the default
+    device.  The 'ortho' initializer (adenet_v3/v5/v6, w_init="ortho") runs
+    a QR decomposition whose numeric path differs across backends (~1e-5 in
+    the factors — measured TPU vs CPU — which the recurrent chains amplify
+    to ~1e-2 at the output).  Pinning init to CPU makes the golden fixtures
+    compare the FORWARD/BACKWARD math across backends, with bit-identical
+    parameters, instead of comparing two QR implementations."""
+    import jax
+
+    with jax.default_device(jax.devices("cpu")[0]):
+        params = init_fn(*args)
+    params = jax.tree_util.tree_map(np.asarray, params)
+    return jax.tree_util.tree_map(
+        lambda x: jax.device_put(x, jax.devices()[0]), params)
+
+
 def compute_zoo_goldens() -> dict:
     import jax
     import jax.numpy as jnp
@@ -31,7 +48,8 @@ def compute_zoo_goldens() -> dict:
     out = {}
     for name in sorted(ZOO_CASES):
         cfg = ZOO_CASES[name]()
-        params = adenet.init_adenet_params(jax.random.PRNGKey(3), cfg)
+        params = _init_pinned(adenet.init_adenet_params,
+                              jax.random.PRNGKey(3), cfg)
         rng = np.random.RandomState(0)
         B, T = 3, 9
         inputs = [jnp.asarray(rng.randn(B, T, s.input_dim).astype(np.float32))
@@ -45,7 +63,8 @@ def compute_zoo_goldens() -> dict:
     for bn, drop in ((False, False), (True, False), (False, True), (True, True)):
         cfg = convae.ConvAEConfig(bottleneck=10, dense=20, use_batchnorm=bn,
                                   use_dropout=drop)
-        params = convae.init_convae_params(jax.random.PRNGKey(5), cfg)
+        params = _init_pinned(convae.init_convae_params,
+                              jax.random.PRNGKey(5), cfg)
         x = jnp.asarray(np.random.RandomState(0).randn(2, 30 * 40)
                         .astype(np.float32))
         out[f"convae/bn{int(bn)}_drop{int(drop)}"] = np.asarray(
@@ -111,7 +130,8 @@ def compute_gradient_goldens() -> dict:
     out = {}
     for name, kw in cases.items():
         cfg = ZOO_CASES[name]()
-        params = adenet.init_adenet_params(jax.random.PRNGKey(3), cfg)
+        params = _init_pinned(adenet.init_adenet_params,
+                              jax.random.PRNGKey(3), cfg)
         rng = np.random.RandomState(0)
         B, T = 3, 9
         inputs = [jnp.asarray(rng.randn(B, T, s.input_dim).astype(np.float32))

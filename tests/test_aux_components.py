@@ -314,3 +314,56 @@ def test_landmark_pool_aborts_on_worker_crash():
     with pytest.raises(RuntimeError, match="crashed|pending"):
         landmarking.run_landmark_pool([("v.mp4", "out.csv")],
                                       crashing_factory, None, workers=2)
+
+
+def test_walkthrough_notebook_has_committed_outputs():
+    """The committed examples notebook must carry executed outputs (the
+    reference ships its notebook with 11 cells of committed history —
+    avletters/avletters_training.ipynb).  Catches the artifact silently
+    rotting back to an unexecuted state."""
+    import nbformat
+
+    path = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "examples", "training_walkthrough.ipynb")
+    nb = nbformat.read(path, as_version=4)
+    code_cells = [c for c in nb.cells if c.cell_type == "code"]
+    with_out = [c for c in code_cells if c.get("outputs")]
+    assert len(with_out) >= 4, (
+        f"only {len(with_out)}/{len(code_cells)} code cells have outputs — "
+        "regenerate with: python scripts/run_notebook.py")
+    # and none of the committed outputs is an error
+    for c in code_cells:
+        for out in c.get("outputs", []):
+            assert out.get("output_type") != "error", c.source[:120]
+
+
+def test_walkthrough_notebook_executes(tmp_path):
+    """Headless re-execution of the walkthrough notebook (a fresh kernel,
+    CPU-pinned backend, artifacts in a temp dir): every cell must run
+    clean end to end."""
+    import shutil
+
+    import nbformat
+    from nbclient import NotebookClient
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    src = os.path.join(repo, "examples", "training_walkthrough.ipynb")
+    dst = tmp_path / "walkthrough.ipynb"
+    shutil.copy(src, dst)
+    nb = nbformat.read(str(dst), as_version=4)
+    env = dict(os.environ)
+    env["IP_AVSR_NB_PLATFORM"] = "cpu"
+    env["PYTHONPATH"] = repo + os.pathsep + env.get("PYTHONPATH", "")
+    old_env = dict(os.environ)
+    os.environ.update(env)
+    try:
+        client = NotebookClient(
+            nb, timeout=600, kernel_name="python3",
+            resources={"metadata": {"path": str(tmp_path)}})
+        client.execute()
+    finally:
+        os.environ.clear()
+        os.environ.update(old_env)
+    executed = [c for c in nb.cells if c.cell_type == "code" and c.get("outputs")]
+    assert len(executed) >= 4
+    assert (tmp_path / "walkthrough_curves.png").exists()

@@ -378,3 +378,107 @@ def test_playvid_cli_headless(tmp_path, capsys):
     # missing files are skipped, not fatal
     playvid.main([str(tmp_path / "nope.mp4"), "--sheet-dir", str(sheets)])
     assert "missing, skipped" in capsys.readouterr().out
+
+
+# ---------------------------------------------------------------------------
+# Property test: the INI config -> model surface (runners/4stream.py:159-224
+# schema).  Hypothesis generates stream sections (count, encoder on/off,
+# delta on/off, dims) and classifier keys (fusion, peepholes, blstm,
+# dropout, remat) and asserts (a) the INI-parsed build equals the directly
+# constructed one, (b) the built model runs one train step + eval.
+# ---------------------------------------------------------------------------
+
+from hypothesis import given, settings, strategies as st  # noqa: E402
+
+_stream_st = st.fixed_dictionaries({
+    "use_encoder": st.booleans(),
+    "use_delta": st.booleans(),
+    "input_dim": st.sampled_from([6, 10, 14]),
+})
+
+_clf_st = st.fixed_dictionaries({
+    "fusiontype": st.sampled_from(["sum", "adasum", "concat"]),
+    "use_peepholes": st.booleans(),
+    "use_blstm": st.booleans(),
+    "use_dropout": st.booleans(),
+    "lstm_remat": st.booleans(),
+    "windowsize": st.sampled_from([3, 4]),
+})
+
+
+@settings(max_examples=12, deadline=None)
+@given(streams=st.lists(_stream_st, min_size=1, max_size=4), clf=_clf_st,
+       data=st.data())
+def test_ini_config_to_model_property(tmp_path_factory, streams, clf, data):
+    import configparser
+    import io as _io
+
+    import jax
+
+    from ip_avsr_tpu.models import adenet
+    from ip_avsr_tpu.train import config as config_lib
+    from ip_avsr_tpu.train.trainer import Trainer, TrainOptions
+
+    # ---- write the INI text exactly as a user would
+    cp = configparser.ConfigParser()
+    for i, s in enumerate(streams, start=1):
+        sec = f"stream{i}"
+        cp.add_section(sec)
+        cp.set(sec, "input_dimensions", str(s["input_dim"]))
+        cp.set(sec, "use_encoder", str(s["use_encoder"]))
+        cp.set(sec, "use_delta", str(s["use_delta"]))
+        if s["use_encoder"]:
+            cp.set(sec, "shape", "12,8,6")
+            cp.set(sec, "nonlinearities", "sigmoid,sigmoid,linear")
+    cp.add_section("lstm_classifier")
+    for k, v in clf.items():
+        cp.set("lstm_classifier", k, str(v))
+    cp.set("lstm_classifier", "lstm_size", "5")
+    cp.set("lstm_classifier", "output_classes", "4")
+    buf = _io.StringIO()
+    cp.write(buf)
+    cp2 = configparser.ConfigParser()
+    cp2.read_string(buf.getvalue())
+
+    # ---- (a) parse path equals the directly constructed path
+    parsed_streams = config_lib.parse_streams(cp2)
+    parsed_clf = config_lib.parse_classifier(cp2)
+    cfg_ini = config_lib.build_model_config(parsed_streams, parsed_clf)
+
+    direct_streams = [config_lib.StreamConfig(
+        name=f"stream{i}", input_dimensions=s["input_dim"],
+        shape=[12, 8, 6] if s["use_encoder"] else None,
+        nonlinearities=(["sigmoid", "sigmoid", "linear"]
+                        if s["use_encoder"] else None),
+        use_encoder=s["use_encoder"], use_delta=s["use_delta"])
+        for i, s in enumerate(streams, start=1)]
+    direct_clf = config_lib.ClassifierConfig(
+        lstm_size=5, output_classes=4, **clf)
+    cfg_direct = config_lib.build_model_config(direct_streams, direct_clf)
+    assert cfg_ini == cfg_direct, (cfg_ini, cfg_direct)
+
+    # ---- (b) the built model actually trains and evaluates
+    rng = np.random.RandomState(data.draw(st.integers(0, 2**16)))
+    B, T = 3, 6
+    params = adenet.init_adenet_params(__import__("jax").random.PRNGKey(0),
+                                       cfg_ini)
+    inputs = [np.asarray(rng.randn(B, T, s.input_dim), np.float32)
+              for s in cfg_ini.streams]
+    lens = rng.randint(3, T + 1, B)
+    mask = (np.arange(T)[None, :] < lens[:, None]).astype(np.float32)
+    y = rng.randint(0, 4, B).astype(np.int32)
+
+    tr = Trainer(cfg_ini, TrainOptions(optimizer="adam", learning_rate=1e-3,
+                                       log_fn=lambda *_: None))
+    p = jax.tree_util.tree_map(np.asarray, params)
+    p = jax.tree_util.tree_map(__import__("jax").numpy.asarray, p)
+    state = tr.optimizer.init(p)
+    dev = tr._device_batch([__import__("jax").numpy.asarray(x) for x in inputs],
+                           y, mask)
+    p2, _, loss = tr.train_step(p, state, dev[0], dev[1], dev[2],
+                                __import__("jax").random.PRNGKey(1),
+                                __import__("jax").numpy.asarray(1e-3))
+    assert np.isfinite(float(loss))
+    cr, conf = tr.evaluate(p2, dev[0], np.asarray(y), np.asarray(mask))
+    assert 0.0 <= cr <= 1.0
+    assert conf.sum() == B

@@ -415,8 +415,80 @@ def test_lstm_remat_grads_match_and_save_memory():
     assert lean < 0.65 * full, (lean, full)
 
 
+def test_lstm_remat_peephole_grads_match():
+    """Peephole remat: forward identical, gradients equal the full-residual
+    peephole custom VJP AND plain autodiff (the rebuilt pre-peephole gates
+    plus saved-cell peephole terms must reproduce the saved-gates math)."""
+    rng = np.random.RandomState(3)
+    B, T, D, H = 4, 48, 12, 16
+    params = lstm.init_lstm_params(jax.random.PRNGKey(4), D, H,
+                                   use_peepholes=True)
+    x = jnp.asarray(rng.randn(B, T, D).astype(np.float32))
+    lens = rng.randint(T // 2, T + 1, B)
+    mask = jnp.asarray((np.arange(T)[None, :] < lens[:, None]).astype(np.float32))
+    gseed = jnp.asarray(rng.randn(B, T, H).astype(np.float32))
+
+    def loss(p, remat, custom=True, bwd=False):
+        out = lstm.lstm_forward(p, x, mask, backwards=bwd,
+                                use_custom_vjp=custom, remat=remat)
+        return jnp.sum(out * gseed)
+
+    for bwd in (False, True):
+        out_r = lstm.lstm_forward(params, x, mask, backwards=bwd, remat=True)
+        out_f = lstm.lstm_forward(params, x, mask, backwards=bwd, remat=False)
+        np.testing.assert_allclose(np.asarray(out_r), np.asarray(out_f),
+                                   rtol=1e-6, atol=1e-7)
+        g_r = jax.grad(lambda p: loss(p, True, bwd=bwd))(params)
+        g_f = jax.grad(lambda p: loss(p, False, bwd=bwd))(params)
+        g_a = jax.grad(lambda p: loss(p, False, custom=False, bwd=bwd))(params)
+        for k in g_r:
+            np.testing.assert_allclose(np.asarray(g_r[k]), np.asarray(g_f[k]),
+                                       rtol=1e-4, atol=1e-6,
+                                       err_msg=f"{k} bwd={bwd} (vs full)")
+            np.testing.assert_allclose(np.asarray(g_r[k]), np.asarray(g_a[k]),
+                                       rtol=1e-4, atol=1e-6,
+                                       err_msg=f"{k} bwd={bwd} (vs autodiff)")
+
+
+@pytest.mark.parametrize("peep", [False, True])
+@pytest.mark.parametrize("remat", [False, True])
+def test_lstm_bf16_residuals_grad_tolerance(peep, remat):
+    """residual_dtype=bfloat16: forward is UNCHANGED (outputs stay f32 from
+    the same recurrence), gradients match the f32-residual gradients to
+    bf16-quantization tolerance, and gradient dtypes/structure are intact.
+    Composes with remat (then only hids/cells are stored, quantized)."""
+    rng = np.random.RandomState(5)
+    B, T, D, H = 4, 32, 12, 16
+    params = lstm.init_lstm_params(jax.random.PRNGKey(6), D, H,
+                                   use_peepholes=peep)
+    x = jnp.asarray(rng.randn(B, T, D).astype(np.float32))
+    lens = rng.randint(T // 2, T + 1, B)
+    mask = jnp.asarray((np.arange(T)[None, :] < lens[:, None]).astype(np.float32))
+    gseed = jnp.asarray(rng.randn(B, T, H).astype(np.float32))
+
+    def loss(p, resd):
+        out = lstm.lstm_forward(p, x, mask, remat=remat, residual_dtype=resd)
+        return jnp.sum(out * gseed)
+
+    out_q = lstm.lstm_forward(params, x, mask, remat=remat,
+                              residual_dtype=jnp.bfloat16)
+    out_f = lstm.lstm_forward(params, x, mask, remat=remat)
+    assert out_q.dtype == jnp.float32
+    np.testing.assert_array_equal(np.asarray(out_q), np.asarray(out_f))
+
+    g_q = jax.grad(lambda p: loss(p, jnp.bfloat16))(params)
+    g_f = jax.grad(lambda p: loss(p, None))(params)
+    for k in g_q:
+        a, b = np.asarray(g_q[k]), np.asarray(g_f[k])
+        assert g_q[k].dtype == params[k].dtype, k
+        # bf16 has ~3 decimal digits; compare on the scale of the gradient
+        denom = max(np.abs(b).max(), 1e-3)
+        np.testing.assert_allclose(a / denom, b / denom, atol=3e-2,
+                                   err_msg=f"{k} peep={peep} remat={remat}")
+
+
 @pytest.mark.parametrize("peep,remat", [(False, False), (True, False),
-                                        (False, True)])
+                                        (False, True), (True, True)])
 def test_lstm_custom_vjp_matches_finite_differences(peep, remat):
     """Autodiff-INDEPENDENT gradient check: directional derivatives of the
     custom-VJP LSTM cores against central finite differences of the primal.

@@ -337,3 +337,69 @@ def test_param_shardings_demote_non_divisible():
     assert enc["fc2"]["w"].spec == P()
     assert enc["fc2"]["b"].spec == P()
     assert sh["output"]["w"].spec == P()  # not an encoder leaf
+
+
+def test_checkpoint_resume_across_mesh_shapes(tmp_path):
+    """Cross-MESH-SHAPE resume (docs/SCALING.md claim): a checkpoint written
+    under dp=8 restores and continues under dp=4 x tp=2 AND under a single
+    device.  Checkpoints are stored as host numpy and re-placed with the
+    restoring Trainer's own mesh (train/checkpoints.py, trainer resume
+    path), so the trajectory must match a never-checkpointed straight
+    run epoch for epoch."""
+    from ip_avsr_tpu.train.trainer import Trainer, TrainOptions
+
+    X, y, lens = _corpus(48)
+    Xv, yv, lensv = _corpus(12, seed=2)
+    cfg = _tp_cfg()
+    train, val = ([X], y, lens), ([Xv], yv, lensv)
+
+    def opts(**kw):
+        base = dict(num_epoch=2, epochsize=3, batchsize=16,
+                    learning_rate=0.01, optimizer="adam", use_mesh=True,
+                    prefetch_batches=False, log_fn=lambda *_: None)
+        base.update(kw)
+        return TrainOptions(**base)
+
+    # never-checkpointed straight-through reference: 4 epochs on dp=8
+    ref = Trainer(cfg, opts(num_epoch=4)).fit(train, val, val)
+
+    # phase 1: 2 epochs on dp=8, checkpointing
+    ck = str(tmp_path / "ckpt")
+    r1 = Trainer(cfg, opts(checkpoint_dir=ck)).fit(train, val, val)
+    np.testing.assert_allclose(r1.cost_val, ref.cost_val[:2], rtol=1e-4,
+                               atol=1e-6)
+
+    # phase 2a: resume under dp=4 x tp=2 (different mesh SHAPE + sharded
+    # encoder params/moments) — restored history is verbatim; the continued
+    # epochs 3..4 track the straight run up to resharded-reduction-order
+    # noise (tp splits the encoder matmul reductions differently, and the
+    # divergence compounds over an epoch of steps)
+    r_tp = Trainer(cfg, opts(model_parallel=2, checkpoint_dir=ck,
+                             resume=True, num_epoch=4)).fit(train, val, val)
+    assert len(r_tp.cost_val) == 4
+    np.testing.assert_allclose(r_tp.cost_val[:2], ref.cost_val[:2],
+                               rtol=1e-6, atol=1e-7)
+    np.testing.assert_allclose(r_tp.cost_val[2:], ref.cost_val[2:],
+                               rtol=5e-3, atol=1e-5)
+    # (cost_train is NOT compared: it is the last-BATCH cost of each epoch,
+    # and a resumed run deliberately reseeds the batch-order stream at
+    # seed+start_epoch — same data per epoch, different final batch)
+    assert np.isfinite(r_tp.cost_train).all()
+    assert abs(r_tp.best_val - ref.best_val) < 5e-3
+
+    # phase 2b: resume the SAME dp=8 checkpoint on a single device
+    r_one = Trainer(cfg, opts(use_mesh=False, checkpoint_dir=ck,
+                              resume=True, num_epoch=4)).fit(train, val, val)
+    assert len(r_one.cost_val) == 4
+    np.testing.assert_allclose(r_one.cost_val[:2], ref.cost_val[:2],
+                               rtol=1e-6, atol=1e-7)
+    np.testing.assert_allclose(r_one.cost_val[2:], ref.cost_val[2:],
+                               rtol=5e-3, atol=1e-5)
+
+    # phase 2c: a multi -> single restore must hand back best-params that
+    # are FUNCTIONALLY equivalent to the straight run's (element-wise
+    # equality is not expected: the reseeded post-resume batch order walks
+    # a different path to the same optimum) — same test CR, same best CR
+    assert abs(r_one.test_cr - ref.test_cr) < 1e-9, (r_one.test_cr,
+                                                     ref.test_cr)
+    assert abs(r_one.best_cr - ref.best_cr) < 1e-9
