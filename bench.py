@@ -70,20 +70,23 @@ def _flops_of(jitted, *args):
         return None
 
 
-def measure_matmul_ceiling(iters=24, n=4096):
+def measure_matmul_ceiling(iters=256, n=4096):
     """MEASURED practical bf16 matmul ceiling of this chip (TFLOP/s): a
     dependent chain of (n, n) @ (n, n) matmuls inside one jit, synced by a
-    host fetch — the same airtight timing as every other metric.  The
-    spec-sheet peak is not reachable with dependent work on this part
-    (~85 TF/s measured on v5e vs 197 spec), so MFU is reported against
-    BOTH: pct_peak (spec) and pct_practical (this measurement)."""
+    SCALAR host fetch (fetching the matrix itself costs ~0.9 s over the
+    tunnel and buries the compute), timed as the DIFFERENCE between a long
+    and a short chain so the fixed round-trip/dispatch overhead cancels.
+    Measures ~195 TF/s on v5e — essentially the 197 spec peak (an earlier
+    ~85 TF/s reading fetched the 32 MB result matrix over the tunnel and
+    buried the compute).  MFU is reported against BOTH: pct_peak (spec)
+    and pct_practical (this measurement)."""
     import jax
     import jax.numpy as jnp
 
     k = jax.random.PRNGKey(0)
     a = jax.random.normal(k, (n, n), jnp.bfloat16)
-    # scale the multiplier to ~unit spectral norm: a randn chain grows by
-    # ~sqrt(n) per step and overflows bf16 within a few iterations
+    # scale the multiplier to ~unit spectral norm: a raw randn chain grows
+    # by ~sqrt(n) per step and overflows bf16 within a few iterations
     b = (jax.random.normal(jax.random.fold_in(k, 1), (n, n), jnp.bfloat16)
          * jnp.bfloat16(1.0 / np.sqrt(n)))
 
@@ -91,13 +94,19 @@ def measure_matmul_ceiling(iters=24, n=4096):
     def chain(a, b, m):
         def body(_, x):
             return jnp.dot(x, b, preferred_element_type=jnp.bfloat16)
-        return jax.lax.fori_loop(0, m, body, a)
+        out = jax.lax.fori_loop(0, m, body, a)
+        return jnp.sum(out.astype(jnp.float32))
 
-    _ = np.asarray(chain(a, b, 1))  # compile + warmup
-    t0 = time.perf_counter()
-    out = np.asarray(chain(a, b, iters))
-    dt = time.perf_counter() - t0
-    assert np.isfinite(out.astype(np.float32)).any()
+    def timed(m):
+        t0 = time.perf_counter()
+        v = float(chain(a, b, m))
+        return time.perf_counter() - t0, v
+
+    _ = timed(1)  # compile + warmup (same program: m is traced)
+    t_short, v1 = timed(1)
+    t_long, v2 = timed(1 + iters)
+    assert np.isfinite(v1) and np.isfinite(v2)
+    dt = max(t_long - t_short, 1e-9)
     return 2.0 * n ** 3 * iters / dt / 1e12
 
 

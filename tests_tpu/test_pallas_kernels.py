@@ -220,3 +220,46 @@ def test_lstm_remat_grads_match_on_tpu():
         scale = np.max(np.abs(b)) + 1e-12
         np.testing.assert_allclose(a / scale, b / scale, rtol=0, atol=1e-3,
                                    err_msg=k)
+
+
+def test_lstm_bf16_residuals_on_tpu():
+    """residual_dtype=bfloat16 at Pallas-train shapes: the quantized
+    residual stacks sit BETWEEN the Pallas forward and backward kernels
+    (fwd outputs cast down, bwd inputs cast back up).  Forward unchanged;
+    gradients within bf16-quantization tolerance of the f32-residual path;
+    same check for peephole kernels and for the remat (scan) path."""
+    from ip_avsr_tpu.ops.pallas import lstm_kernel
+
+    rng = np.random.RandomState(4)
+    B, T, D, H = 128, 16, 64, 128
+    assert lstm_kernel.should_use_pallas_train(B, T, H)
+    x = jnp.asarray(rng.randn(B, T, D).astype(np.float32))
+    lens = rng.randint(T // 2, T + 1, B)
+    mask = jnp.asarray((np.arange(T)[None, :] < lens[:, None]).astype(np.float32))
+    gseed = jnp.asarray(rng.randn(B, T, H).astype(np.float32))
+
+    for peep, remat in ((False, False), (True, False), (False, True),
+                        (True, True)):
+        params = lstm_ops.init_lstm_params(jax.random.PRNGKey(6), D, H,
+                                           use_peepholes=peep)
+
+        def loss(p, resd):
+            out = lstm_ops.lstm_forward(p, x, mask, remat=remat,
+                                        residual_dtype=resd)
+            return jnp.sum(out * gseed)
+
+        out_q = lstm_ops.lstm_forward(params, x, mask, remat=remat,
+                                      residual_dtype=jnp.bfloat16)
+        out_f = lstm_ops.lstm_forward(params, x, mask, remat=remat)
+        np.testing.assert_allclose(np.asarray(out_q), np.asarray(out_f),
+                                   rtol=0, atol=0,
+                                   err_msg=f"peep={peep} remat={remat}")
+
+        gq = jax.jit(jax.grad(lambda p: loss(p, jnp.bfloat16)))(params)
+        gf = jax.jit(jax.grad(lambda p: loss(p, None)))(params)
+        for k in gq:
+            a, b = np.asarray(gq[k]), np.asarray(gf[k])
+            scale = np.max(np.abs(b)) + 1e-12
+            np.testing.assert_allclose(
+                a / scale, b / scale, rtol=0, atol=3e-2,
+                err_msg=f"{k} peep={peep} remat={remat}")
