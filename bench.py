@@ -50,9 +50,12 @@ def _device_peak_tflops():
     import jax
 
     kind = jax.devices()[0].device_kind
-    for k, v in _PEAK_TFLOPS.items():
+    # longest prefix first: 'TPU v5 lite' must match its own entry, not a
+    # generic 'TPU v5', and unknown sub-variants ('TPU v4i') must not
+    # inherit the base chip's peak
+    for k in sorted(_PEAK_TFLOPS, key=len, reverse=True):
         if kind.lower().startswith(k.lower()):
-            return v, kind
+            return _PEAK_TFLOPS[k], kind
     return None, kind
 
 
@@ -61,11 +64,23 @@ def _flops_of(jitted, *args):
     self-auditing denominator for MFU (cost_analysis is an estimate, but it
     is the compiler's estimate of the program actually being timed, not a
     hand-derived number)."""
-    try:
-        cost = jitted.lower(*args).compile().cost_analysis()
+    def _flops(cost):
         if isinstance(cost, (list, tuple)):
-            cost = cost[0]
+            cost = cost[0] if cost else None
+        if not cost:
+            return None
         return float(cost.get("flops", 0.0)) or None
+
+    try:
+        lowered = jitted.lower(*args)
+        try:
+            # the lowering's own estimate — no backend compile (each compile
+            # costs 20-60s through the remote-compile tunnel).  The axon
+            # backend returns None here, hence the compiled fallback.
+            got = _flops(lowered.cost_analysis())
+        except Exception:
+            got = None
+        return got if got is not None else _flops(lowered.compile().cost_analysis())
     except Exception:
         return None
 
@@ -547,15 +562,15 @@ def main():
         # keep the compile count bounded: with per-process XLA caches only,
         # every extra shape costs a fresh 20-60s compile in the driver's run.
         # Batch ladders picked by measurement: fwd 4096 > 2048 (+2.3%),
-        # train 1024 > 512/256 (+10.6%) — the bigger step batch amortizes the
-        # sequential LSTM chain.
+        # train 2048 > 1024 (+5.2%) > 512/256 — the bigger step batch
+        # amortizes the sequential LSTM chain (scripts/measure_train_batch.py).
         batches = [args.batch] if args.batch else [2048, 4096]
         iters = 20
         cpu_iters = 3
-        # (batch, matmul_dtype): f32 wins at B=1024 (28.5k vs 27.5k bf16 —
-        # the backward is HBM-bound and bf16 operand casts add traffic);
-        # bf16 wins small-batch (docs/DESIGN.md matrix)
-        train_batches = [(256, "bfloat16"), (1024, None)]
+        # (batch, matmul_dtype): f32 wins at large batch (the backward is
+        # HBM-bound and bf16 operand casts add traffic); bf16 wins
+        # small-batch (docs/DESIGN.md matrix)
+        train_batches = [(256, "bfloat16"), (2048, None)]
         train_iters = 10
         latency_calls = 30
 
@@ -588,12 +603,15 @@ def main():
         "utt_per_sec": measure_train_cpu_reference(batch=16, iters=2), "batch": 16})
     peep_baseline = cached("train_cpu_peep", lambda: {
         "utt_per_sec": measure_train_peep(16, 2,
-                                          device=__import__("jax").devices("cpu")[0]),
+                                          device=__import__("jax").devices("cpu")[0])[0],
         "batch": 16})
     latency_baseline = cached("serve_cpu_ms", measure_serving_latency_cpu_reference)
-    # measured practical roofline of THIS chip (dependent bf16 matmul chain)
+    # measured practical roofline of THIS chip (dependent bf16 matmul chain);
+    # cache key carries the device kind so a cached v5e ceiling is never
+    # reused to scale pct_practical on a different chip
     try:
-        ceiling = cached("matmul_ceiling_tflops", measure_matmul_ceiling)
+        kind = __import__("jax").devices()[0].device_kind.replace(" ", "_")
+        ceiling = cached(f"matmul_ceiling_tflops::{kind}", measure_matmul_ceiling)
     except Exception:
         ceiling = None
 
@@ -610,13 +628,16 @@ def main():
         **_mfu_fields(train_flops, train_b, best_train, ceiling),
     }))
 
-    peep_tput, peep_flops = measure_train_peep(256, train_iters)
+    # B=2048 > 1024 (+8.6%) > 256 (+43% total) — measured ladder, see
+    # scripts/measure_train_batch.py --peep-only
+    peep_b = 256 if args.quick else 2048
+    peep_tput, peep_flops = measure_train_peep(peep_b, train_iters)
     print(json.dumps({
         "metric": "bimodal_peep_train_utt_per_sec_per_chip",
         "value": round(peep_tput, 2),
         "unit": "utterances/sec/chip",
         "vs_baseline": round(peep_tput / peep_baseline["utt_per_sec"], 2),
-        **_mfu_fields(peep_flops, 256, peep_tput, ceiling),
+        **_mfu_fields(peep_flops, peep_b, peep_tput, ceiling),
     }))
 
     (p50, on_device_ms, sustained_ms, transport_ms,

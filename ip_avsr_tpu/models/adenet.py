@@ -86,7 +86,9 @@ class AdeNetConfig:
     # saturate the MXU and the group stacking/transposes add HBM traffic),
     # and hurts TRAINING at every measured batch (the transposes are paid
     # again in the backward pass — matrix in docs/DESIGN.md). Default off;
-    # enable for low-latency inference only.
+    # enable for low-latency inference only.  Under training it is ignored
+    # (with a warning) when lstm_remat / lstm_residual_dtype is set: the
+    # grouped core has no residual machinery and the memory levers win.
     fuse_scans: bool = False
     # LSTM recurrence backend for inference (train=False): "xla" (lax.scan)
     # or "pallas" (ops/pallas/lstm_kernel.py: weights VMEM-resident, fused
@@ -315,12 +317,26 @@ def head_forward(params, config: AdeNetConfig, stream_feats, mask, train,
                                      remat=config.lstm_remat,
                                      residual_dtype=config.lstm_residual_dtype)
 
-    # per-stream LSTMs — grouped into one scan when homogeneous
+    # per-stream LSTMs — grouped into one scan when homogeneous.  The
+    # grouped core has no remat/residual-dtype machinery, so under training
+    # those residual levers take precedence over fuse_scans (silently
+    # honoring fuse_scans would drop the promised memory savings — the
+    # user sized their batch to them); warn once per trace.
+    fuse_ok = config.fuse_scans and not (
+        train and (config.lstm_remat or config.lstm_residual_dtype))
+    if config.fuse_scans and not fuse_ok:
+        import warnings
+
+        warnings.warn(
+            "fuse_scans is ignored under training when lstm_remat or "
+            "lstm_residual_dtype is set (the grouped scan stores full-f32 "
+            "residuals); running ungrouped LSTMs so the residual levers "
+            "apply", stacklevel=2)
     lstm_idx = [i for i, s in enumerate(config.streams) if s.use_lstm]
     lstm_params = [params["streams"][config.streams[i].name]["lstm"] for i in lstm_idx]
     stream_outs = list(stream_feats)
     if lstm_idx:
-        if config.fuse_scans and lstm_ops.can_group_lstms(lstm_params):
+        if fuse_ok and lstm_ops.can_group_lstms(lstm_params):
             grouped = lstm_ops.lstm_forward_grouped(
                 lstm_params, [stream_feats[i] for i in lstm_idx], mask,
                 [False] * len(lstm_idx), matmul_dtype=mmdtype)
@@ -338,7 +354,7 @@ def head_forward(params, config: AdeNetConfig, stream_feats, mask, train,
         agg = _dropout(agg, config.agg_dropout, agg_rngs[layer], train)
         lp = params["aggregator"][layer]
         if config.agg_bidirectional:
-            if config.fuse_scans and lstm_ops.can_group_lstms([lp["fwd"], lp["bwd"]]):
+            if fuse_ok and lstm_ops.can_group_lstms([lp["fwd"], lp["bwd"]]):
                 f, bwd = lstm_ops.lstm_forward_grouped(
                     [lp["fwd"], lp["bwd"]], [agg, agg], mask, [False, True],
                     matmul_dtype=mmdtype)

@@ -90,6 +90,50 @@ def test_adenet_fused_vs_unfused_forward():
                                rtol=1e-5, atol=1e-6)
 
 
+def test_fuse_scans_yields_to_residual_levers_under_training():
+    """fuse_scans + (lstm_remat | lstm_residual_dtype) under train=True must
+    warn and run the UNGROUPED cores (the grouped scan has no residual
+    machinery — silently honoring fuse_scans would drop the promised memory
+    savings), with gradients identical to the plain ungrouped config."""
+    import warnings as warnings_mod
+
+    enc = (("sigmoid", "sigmoid", "linear"), (16, 12, 6))
+    base = zoo.adenet_v2(20, 8, enc[1], enc[0], lstm_size=6, window=3,
+                         output_classes=7)
+    params = adenet.init_adenet_params(
+        jax.random.PRNGKey(2),
+        adenet.AdeNetConfig(**{**base.__dict__, "fuse_scans": True}))
+    rng = np.random.RandomState(0)
+    B, T = 3, 8
+    inputs = [jnp.asarray(rng.randn(B, T, d).astype(np.float32)) for d in (20, 8)]
+    lens = rng.randint(3, T + 1, B)
+    mask = jnp.asarray((np.arange(T)[None, :] < lens[:, None]).astype(np.float32))
+
+    def loss(p, cfg):
+        out = adenet.adenet_forward(p, cfg, inputs, mask, train=True,
+                                    dropout_rng=jax.random.PRNGKey(0))
+        return jnp.sum(out * out)
+
+    for lever in ({"lstm_remat": True}, {"lstm_residual_dtype": "bfloat16"}):
+        cfg_fused = adenet.AdeNetConfig(
+            **{**base.__dict__, "fuse_scans": True, **lever})
+        cfg_plain = adenet.AdeNetConfig(**{**base.__dict__, **lever})
+        with pytest.warns(UserWarning, match="fuse_scans is ignored"):
+            g_fused = jax.grad(loss)(params, cfg_fused)
+        with warnings_mod.catch_warnings():
+            warnings_mod.simplefilter("error")  # plain config must NOT warn
+            g_plain = jax.grad(loss)(params, cfg_plain)
+        jax.tree_util.tree_map(
+            lambda a, b: np.testing.assert_array_equal(
+                np.asarray(a), np.asarray(b)), g_fused, g_plain)
+        # inference is untouched by the levers: grouping stays on, no warning
+        with warnings_mod.catch_warnings():
+            warnings_mod.simplefilter("error")
+            out_inf = adenet.adenet_forward(params, cfg_fused, inputs, mask,
+                                            train=False)
+        assert np.all(np.isfinite(np.asarray(out_inf)))
+
+
 def test_pallas_lstm_kernel_interpret_matches_scan():
     """Pallas LSTM recurrence (interpret mode) == XLA scan, fwd and bwd."""
     from ip_avsr_tpu.ops.pallas import lstm_kernel
