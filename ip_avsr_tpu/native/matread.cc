@@ -129,9 +129,16 @@ bool parse_matrix(const uint8_t* p, size_t n, Handle* h) {
   }
   c.off += adv;
 
-  // name
+  // name — returned to Python as a C string, so an embedded NUL would
+  // silently truncate the key where scipy keeps the raw bytes (found by
+  // scripts/fuzz_matread.py); such names never occur in real MAT files,
+  // so defer them to the scipy fallback instead of diverging
   if (!c.tag(&type, &bytes, &data, &adv) || type != 1) {
     h->error = "bad name element";
+    return false;
+  }
+  if (std::memchr(data, 0, bytes) != nullptr) {
+    h->error = "NUL byte in array name";
     return false;
   }
   arr.name.assign(reinterpret_cast<const char*>(data), bytes);

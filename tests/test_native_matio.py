@@ -125,3 +125,24 @@ def test_logical_arrays_fall_back(tmp_path):
         assert native.load_mat_native(p) is None
     d = matio.load_mat_file(p)
     assert d["m"].dtype == sio.loadmat(p)["m"].dtype
+
+
+def test_fuzz_mutations_never_crash_or_diverge():
+    """Mutation fuzz of the C++ parser (scripts/fuzz_matread.py): random
+    byte flips / truncations / splices of valid .mat files must never crash
+    the process, and whenever both the native reader and scipy parse a
+    mutant, they must agree byte-for-byte.  Runs in a SUBPROCESS so a
+    segfault fails this test instead of killing the pytest worker.  (The
+    fuzzer already caught one real divergence: NUL-in-name truncation
+    through the C string interface — now a strict-parser fallback.)"""
+    import subprocess
+    import sys
+
+    script = os.path.join(os.path.dirname(__file__), os.pardir, "scripts",
+                          "fuzz_matread.py")
+    proc = subprocess.run([sys.executable, script, "200", "0"],
+                          capture_output=True, text=True, timeout=300)
+    assert proc.returncode == 0, (
+        f"fuzzer failed (rc={proc.returncode}; negative = signal/crash):\n"
+        f"{proc.stdout}\n{proc.stderr}")
+    assert "fuzzed 200 mutants" in proc.stdout
