@@ -266,7 +266,7 @@ def _make_train_step(cfg, lr=1e-4):
 
 
 def measure_train(batch, iters, matmul_dtype="bfloat16", device=None,
-                  residual_dtype=None):
+                  residual_dtype=None, remat=False):
     """Training-step throughput.  Iterations chain through the parameter
     carry (step i+1 consumes step i's updated params), so the host fetch at
     the end necessarily covers all ``iters`` sequential steps — the same
@@ -279,12 +279,14 @@ def measure_train(batch, iters, matmul_dtype="bfloat16", device=None,
     import jax.numpy as jnp
 
     cfg, params, inputs, mask = build(batch, matmul_dtype)
-    # training always runs the XLA LSTM scan (the Pallas LSTM kernel is
-    # inference-only); keep f32 parameters, bf16 matmuls
+    # lstm_impl selects the INFERENCE recurrence only; training goes through
+    # the custom-VJP core, which auto-dispatches its own Pallas train/bwd
+    # kernels when shapes fit VMEM.  Keep f32 parameters, bf16 matmuls.
     from ip_avsr_tpu.models import adenet
 
     cfg = adenet.AdeNetConfig(**{**cfg.__dict__, "lstm_impl": "xla",
-                                 "lstm_residual_dtype": residual_dtype})
+                                 "lstm_residual_dtype": residual_dtype,
+                                 "lstm_remat": remat})
     device = device or jax.devices()[0]
     optimizer, train_step = _make_train_step(cfg)
     params = jax.device_put(params, device)
@@ -352,18 +354,20 @@ def _build_peep(batch):
     return cfg, params, inputs, mask
 
 
-def measure_train_peep(batch, iters, device=None, residual_dtype=None):
+def measure_train_peep(batch, iters, device=None, residual_dtype=None,
+                       remat=False):
     """Training-step throughput for the peephole flagship (adenet_v2_1).
     Same airtight chained-step timing as measure_train."""
     import jax
     import jax.numpy as jnp
 
     cfg, params, inputs, mask = _build_peep(batch)
-    if residual_dtype:
+    if residual_dtype or remat:
         from ip_avsr_tpu.models import adenet
 
         cfg = adenet.AdeNetConfig(**{**cfg.__dict__,
-                                     "lstm_residual_dtype": residual_dtype})
+                                     "lstm_residual_dtype": residual_dtype,
+                                     "lstm_remat": remat})
     device = device or jax.devices()[0]
     optimizer, train_step = _make_train_step(cfg)
     params = jax.device_put(params, device)
