@@ -34,7 +34,7 @@ def timed(fn, args, iters=10, label=""):
     def chained(n, *args):
         def body(_, carry):
             acc, x0 = carry
-            s = fn(x0, *args[1:]).astype(jnp.float32)
+            s = jnp.sum(fn(x0, *args[1:])).astype(jnp.float32)
             return acc + s, x0 + 0.0 * s
         acc, _ = jax.lax.fori_loop(0, n, body, (jnp.float32(0.0), args[0]))
         return acc
