@@ -257,6 +257,7 @@ def _train_and_report(options, clf, tc, stream_cfgs,
         resume=options.resume,
         bucket_boundaries=tc.bucket_boundaries,
         device_data=options.device_data,
+        grad_accum_steps=tc.grad_accum_steps,
     )
 
     trainer = Trainer(model_cfg, topts)

@@ -9,7 +9,8 @@ Schema "generic" (runners/*.py, e.g. runners/4stream.py:159-224):
                 matlab_target_offset, use_dropout
   [training]    validation_window, num_epoch, learning_rate, epochsize,
                 batchsize, train_subjects_file, val_subjects_file,
-                test_subjects_file
+                test_subjects_file, bucket_boundaries, matmul_dtype,
+                grad_accum_steps
 
 Schema "legacy" ([data]/[models]/[training], oulu/trimodal_with_val.py:274-287)
 is accepted by :func:`parse_legacy_config` for the dataset-specific CLIs.
@@ -79,6 +80,10 @@ class TrainingConfig:
     # e.g. "bfloat16": cast matmul operands (f32 accumulation) for MXU
     # throughput; None = full f32
     matmul_dtype: Optional[str] = None
+    # K>1: lax.scan K microbatches per step, accumulating the exact
+    # full-batch gradient with K-fold less residual memory
+    # (TrainOptions.grad_accum_steps)
+    grad_accum_steps: int = 1
 
 
 def load_config(path: str) -> configparser.ConfigParser:
@@ -171,6 +176,7 @@ def parse_training(cp: configparser.ConfigParser) -> TrainingConfig:
         test_subjects_file=_get(cp, sec, "test_subjects_file"),
         bucket_boundaries=_parse_buckets(_get(cp, sec, "bucket_boundaries")),
         matmul_dtype=_get(cp, sec, "matmul_dtype") or None,
+        grad_accum_steps=int(_get(cp, sec, "grad_accum_steps", 1)),
     )
 
 

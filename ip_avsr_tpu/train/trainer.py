@@ -123,6 +123,18 @@ class TrainOptions:
     # boundary.  Single-device, unbucketed runs only (falls back silently
     # otherwise); right-sized for the reference corpora (<1 GB dense).
     device_data: bool = False
+    # gradient accumulation: split each batch into K microbatches and
+    # lax.scan them, summing the masked-loss NUMERATOR gradients and
+    # dividing once by the global frame count — the full-batch gradient
+    # exactly (the losses' return_parts denominators are theta-independent),
+    # with K-fold less activation/residual memory.  Dropout draws one rng
+    # per microbatch (valid, not bitwise the single-batch masks).  Requires
+    # batchsize % K == 0; excluded with batch-norm streams (per-microbatch
+    # statistics would change training semantics) and with mesh_mode
+    # "shard_map" (that path owns its own step); composes with gspmd
+    # dp/tp meshes, device_data, and bucketed batches (every bucket's
+    # static batch is the same batchsize, so divisibility holds).
+    grad_accum_steps: int = 1
 
 
 @dataclasses.dataclass
@@ -189,6 +201,18 @@ class Trainer:
             self.mesh = mesh_lib.make_mesh() if options.use_mesh else None
         if options.mesh_mode not in ("gspmd", "shard_map"):
             raise ValueError(f"unknown mesh_mode: {options.mesh_mode}")
+        if options.grad_accum_steps > 1:
+            if options.mesh_mode == "shard_map":
+                raise ValueError("grad_accum_steps requires mesh_mode='gspmd'")
+            if self._has_bn:
+                raise ValueError(
+                    "grad_accum_steps does not compose with batch-norm "
+                    "streams: per-microbatch statistics would silently "
+                    "change training semantics vs the full batch")
+            if options.batchsize % options.grad_accum_steps != 0:
+                raise ValueError(
+                    f"grad_accum_steps={options.grad_accum_steps} must divide "
+                    f"batchsize={options.batchsize}")
         if self.optimizer is not None:
             self._build_steps()
 
@@ -249,6 +273,7 @@ class Trainer:
     def _build_steps(self):
         optimizer = self.optimizer
         has_bn = self._has_bn
+        accum = self.options.grad_accum_steps
 
         def train_step(params, opt_state, streams, y, mask, rng, lr):
             if has_bn:
@@ -263,6 +288,51 @@ class Trainer:
             for name, new_bn in aux["bn_state"].items():
                 params["streams"][name]["bn_state"] = jax.lax.stop_gradient(new_bn)
             return params, opt_state, loss
+
+        def train_step_accum(params, opt_state, streams, y, mask, rng, lr):
+            """K-microbatch accumulation.  The masked losses expose
+            (numerator, frame_count) parts whose denominator carries no
+            gradient, so summing per-microbatch NUMERATOR gradients over a
+            lax.scan and dividing once by the global count reproduces the
+            full-batch gradient exactly (same identity the shard_map
+            trainer's psum'd parts rely on), while only one microbatch's
+            residuals are ever live."""
+            B = y.shape[0]
+            k, mb = accum, B // accum
+
+            def re(x):
+                return x.reshape((k, mb) + x.shape[1:])
+
+            xs = (tuple(re(s) for s in streams), re(y), re(mask),
+                  jnp.arange(k))
+
+            def num_loss(p, s_mb, y_mb, m_mb, r):
+                num, den = self._loss(p, list(s_mb), y_mb, m_mb, True, r,
+                                      parts=True)
+                return num, den
+
+            g0 = jax.tree_util.tree_map(jnp.zeros_like, params)
+
+            def body(carry, mb_xs):
+                gsum, num_sum, den_sum = carry
+                s_mb, y_mb, m_mb, i = mb_xs
+                r = jax.random.fold_in(rng, i)
+                (num, den), g = jax.value_and_grad(num_loss, has_aux=True)(
+                    params, s_mb, y_mb, m_mb, r)
+                gsum = jax.tree_util.tree_map(jnp.add, gsum, g)
+                return (gsum, num_sum + num, den_sum + den), None
+
+            (gsum, num_sum, den_sum), _ = jax.lax.scan(
+                body, (g0, jnp.float32(0.0), jnp.float32(0.0)), xs)
+            den = jnp.maximum(den_sum, 1.0)
+            grads = jax.tree_util.tree_map(lambda g: g / den, gsum)
+            loss = num_sum / den
+            params, opt_state = optimizer.apply(params, grads, opt_state,
+                                                learning_rate=lr)
+            return params, opt_state, loss
+
+        if accum > 1:
+            train_step = train_step_accum
 
         def eval_cost(params, streams, y, mask):
             return self._loss(params, streams, y, mask, False, jax.random.PRNGKey(0))

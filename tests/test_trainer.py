@@ -300,3 +300,123 @@ def test_trainer_device_data_matches_host_path():
                     jax.tree_util.tree_leaves(results[1].best_params)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-5, atol=1e-7)
+
+
+def test_grad_accum_matches_full_batch_step():
+    """grad_accum_steps=K must reproduce the full-batch update: the losses'
+    (numerator, frame-count) parts make the accumulated gradient the exact
+    full-batch quotient, so one train_step from identical params must land
+    on the same parameters and loss (float tolerance: only the summation
+    order differs).  The step uses a momentum optimizer — linear in the
+    gradient — because adam's eps divides near-zero entries, amplifying
+    ~1e-8 f32 reorder noise into visible parameter differences (measured:
+    grads agree to 1.1e-8 abs; adam params then differ ~3e-6)."""
+    import jax
+    import jax.numpy as jnp
+
+    from ip_avsr_tpu.models import adenet, zoo
+
+    for output_mode_cfg in (
+            zoo.lstm_classifier_majority_vote(12, lstm_size=12, output_classes=4),
+            zoo.lstm_classifier_baseline(12, lstm_size=12, output_classes=4)):
+        cfg = output_mode_cfg
+        params = adenet.init_adenet_params(jax.random.PRNGKey(0), cfg)
+        rng = np.random.RandomState(0)
+        B, T = 8, 9
+        x = rng.randn(B, T, 12).astype(np.float32)
+        lens = rng.randint(3, T + 1, B)
+        mask = (np.arange(T)[None, :] < lens[:, None]).astype(np.float32)
+        y = rng.randint(0, 4, B).astype(np.int32)
+
+        opts = lambda **kw: TrainOptions(  # noqa: E731
+            batchsize=B, learning_rate=1e-2, optimizer="momentum",
+            log_fn=lambda *_: None, **kw)
+        plain = Trainer(cfg, opts())
+        accum = Trainer(cfg, opts(grad_accum_steps=4))
+
+        fresh = lambda: jax.tree_util.tree_map(jnp.array, params)  # noqa: E731
+        args = plain._device_batch([x], y, mask)
+        p0 = fresh()
+        p1, _, l1 = plain.train_step(p0, plain.optimizer.init(p0), *args,
+                                     jax.random.PRNGKey(3),
+                                     jnp.asarray(1e-2, jnp.float32))
+        p0b = fresh()
+        p2, _, l2 = accum.train_step(p0b, accum.optimizer.init(p0b), *args,
+                                     jax.random.PRNGKey(3),
+                                     jnp.asarray(1e-2, jnp.float32))
+        np.testing.assert_allclose(float(l1), float(l2), rtol=1e-6)
+        jax.tree_util.tree_map(
+            lambda a, b: np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=2e-5, atol=1e-7), p1, p2)
+
+
+def test_grad_accum_fit_learns_and_validates_options():
+    X, y, lens = make_synthetic(40)
+    Xv, yv, lensv = make_synthetic(12, seed=1)
+    cfg = zoo.lstm_classifier_majority_vote(12, lstm_size=12, output_classes=4)
+    options = TrainOptions(num_epoch=6, epochsize=8, batchsize=8,
+                           learning_rate=0.01, validation_window=50, seed=0,
+                           grad_accum_steps=2, log_fn=lambda s: None)
+    result = Trainer(cfg, options).fit(([X], y, lens), ([Xv], yv, lensv),
+                                       ([Xv], yv, lensv))
+    assert result.best_cr > 0.6, result.class_rate
+
+    # K must divide batchsize
+    with pytest.raises(ValueError, match="must divide"):
+        Trainer(cfg, TrainOptions(batchsize=8, grad_accum_steps=3,
+                                  log_fn=lambda s: None))
+    # batch-norm streams are excluded (per-microbatch statistics)
+    bn_cfg = zoo.adenet_v1(12, 6, lstm_size=6, window=3, output_classes=4)
+    assert any(s.use_batchnorm for s in bn_cfg.streams)
+    with pytest.raises(ValueError, match="batch-norm"):
+        Trainer(bn_cfg, TrainOptions(batchsize=8, grad_accum_steps=2,
+                                     log_fn=lambda s: None))
+    # shard_map owns its own step
+    with pytest.raises(ValueError, match="gspmd"):
+        Trainer(cfg, TrainOptions(batchsize=8, grad_accum_steps=2,
+                                  mesh_mode="shard_map", use_mesh=True,
+                                  log_fn=lambda s: None))
+
+
+def test_grad_accum_composes_with_data_parallel_mesh():
+    """Accumulation under the gspmd dp mesh: the (K, B/K, ...) reshape
+    re-partitions cleanly, and the accumulated step matches the plain mesh
+    step (momentum optimizer, same eps rationale as the single-device
+    equality test)."""
+    import jax
+    import jax.numpy as jnp
+
+    from ip_avsr_tpu.models import adenet, zoo
+
+    if len(jax.devices()) < 2:
+        pytest.skip("needs a multi-device (virtual) platform")
+    cfg = zoo.lstm_classifier_majority_vote(12, lstm_size=12, output_classes=4)
+    params = adenet.init_adenet_params(jax.random.PRNGKey(0), cfg)
+    rng = np.random.RandomState(0)
+    B, T = 16, 9
+    x = rng.randn(B, T, 12).astype(np.float32)
+    lens = rng.randint(3, T + 1, B)
+    mask = (np.arange(T)[None, :] < lens[:, None]).astype(np.float32)
+    y = rng.randint(0, 4, B).astype(np.int32)
+
+    opts = lambda **kw: TrainOptions(  # noqa: E731
+        batchsize=B, learning_rate=1e-2, optimizer="momentum", use_mesh=True,
+        log_fn=lambda *_: None, **kw)
+    plain = Trainer(cfg, opts())
+    accum = Trainer(cfg, opts(grad_accum_steps=4))
+
+    fresh = lambda: jax.tree_util.tree_map(jnp.array, params)  # noqa: E731
+    args = plain._device_batch([x], y, mask)
+    p0 = fresh()
+    p1, _, l1 = plain.train_step(p0, plain.optimizer.init(p0), *args,
+                                 jax.random.PRNGKey(3),
+                                 jnp.asarray(1e-2, jnp.float32))
+    args2 = accum._device_batch([x], y, mask)
+    p0b = fresh()
+    p2, _, l2 = accum.train_step(p0b, accum.optimizer.init(p0b), *args2,
+                                 jax.random.PRNGKey(3),
+                                 jnp.asarray(1e-2, jnp.float32))
+    np.testing.assert_allclose(float(l1), float(l2), rtol=1e-6)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=2e-5, atol=1e-7), p1, p2)
