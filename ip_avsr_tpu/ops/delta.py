@@ -52,19 +52,29 @@ def _edge_pad_time(x: jnp.ndarray, window: int) -> jnp.ndarray:
     return jnp.pad(x, pad, mode="edge")
 
 
-def delta_coeff(x: jnp.ndarray, window: int, normalized: bool = True) -> jnp.ndarray:
-    """Single-order delta along the time axis (axis -2) of ``x`` (..., T, D)."""
-    if window <= 0:
-        return jnp.zeros_like(x)
-    T = x.shape[-2]
-    padded = _edge_pad_time(x, window)
-    out = jnp.zeros_like(x)
+def delta_taps_from_padded(padded: jnp.ndarray, window: int,
+                           normalized: bool = True) -> jnp.ndarray:
+    """The delta FIR taps over an ALREADY time-extended (..., T + 2*window, D)
+    array, returning the (..., T, D) centre block.  Shared by
+    :func:`delta_coeff` (edge-padded input) and the sequence-parallel path
+    (halo-exchanged input, parallel/sequence.py) so the tap formula lives in
+    exactly one place."""
+    T = padded.shape[-2] - 2 * window
+    out = jnp.zeros(padded.shape[:-2] + (T,) + padded.shape[-1:], padded.dtype)
     for theta in range(1, window + 1):
         coeff = (1.0 / (2.0 * theta)) if normalized else float(theta)
         fwd = jnp.asarray(padded[..., window + theta : window + theta + T, :])
         bwd = jnp.asarray(padded[..., window - theta : window - theta + T, :])
         out = out + coeff * (fwd - bwd)
     return out
+
+
+def delta_coeff(x: jnp.ndarray, window: int, normalized: bool = True) -> jnp.ndarray:
+    """Single-order delta along the time axis (axis -2) of ``x`` (..., T, D)."""
+    if window <= 0:
+        return jnp.zeros_like(x)
+    return delta_taps_from_padded(_edge_pad_time(x, window), window,
+                                  normalized=normalized)
 
 
 def append_delta_coeff(x: jnp.ndarray, window: int) -> jnp.ndarray:

@@ -91,8 +91,14 @@ def param_shardings(params, mesh: Mesh, rules=None,
             if axis is None:
                 continue
             # validate against the size of the axes the spec ACTUALLY names
-            # (custom rules may shard over any axis, incl. tuples)
+            # (custom rules may shard over any axis, incl. tuples); an axis
+            # the mesh does not have demotes to replicated like any other
+            # inapplicable rule (e.g. the default encoder rules on a 1-D
+            # data-only mesh) instead of raising KeyError
             axes = axis if isinstance(axis, tuple) else (axis,)
+            if any(a not in mesh.shape for a in axes):
+                spec = P()
+                break
             size = 1
             for a in axes:
                 size *= mesh.shape[a]

@@ -75,15 +75,12 @@ def halo_exchange_time(x: jnp.ndarray, halo: int, axis_name: str,
 
 def _delta_from_ext(x_ext: jnp.ndarray, window: int) -> jnp.ndarray:
     """Delta coefficients for the centre block of an already-extended
-    (B, T_local + 2*window, D) array (same taps as ops/delta.delta_coeff)."""
-    T_local = x_ext.shape[1] - 2 * window
-    out = jnp.zeros(x_ext.shape[:1] + (T_local,) + x_ext.shape[2:], x_ext.dtype)
-    for theta in range(1, window + 1):
-        coeff = 1.0 / (2.0 * theta)
-        fwd = x_ext[:, window + theta : window + theta + T_local, :]
-        bwd = x_ext[:, window - theta : window - theta + T_local, :]
-        out = out + coeff * (fwd - bwd)
-    return out
+    (B, T_local + 2*window, D) array — the one shared tap formula
+    (ops/delta.delta_taps_from_padded), fed the halo-exchanged block
+    instead of an edge-padded one."""
+    from ip_avsr_tpu.ops.delta import delta_taps_from_padded
+
+    return delta_taps_from_padded(x_ext, window)
 
 
 def append_delta_coeff_sp(x: jnp.ndarray, window: int, axis_name: str,

@@ -30,6 +30,9 @@ def make_trimodal_server(
 ):
     """Returns a jitted ``(raw, mask) -> (B, C) scores`` callable for a
     trimodal (raw, dct, diff) model."""
+    if (dct_mean is None) != (dct_std is None):
+        raise ValueError("dct_mean and dct_std must be given together "
+                         "(featurewise normalization needs both)")
     dct_coeffs = dct_coeffs or config.streams[1].input_dim
 
     @jax.jit
@@ -136,7 +139,15 @@ class PipelinedServer:
         block = []
         pending = collections.deque()
         for req in requests:
-            block.append(self.submit(*req))
+            h = self.submit(*req)
+            # the block concat needs matching trailing dims (a per-step
+            # vote=False server returns (B, T, C) whose T follows the
+            # request): a shape change flushes the current block instead of
+            # crashing the concat mid-stream
+            if block and h.shape[1:] != block[-1].shape[1:]:
+                pending.append(self._pack(block))
+                block = []
+            block.append(h)
             if len(block) >= self._depth:
                 pending.append(self._pack(block))
                 block = []

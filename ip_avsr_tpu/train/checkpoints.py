@@ -45,10 +45,14 @@ def latest_step(directory: str) -> Optional[int]:
 
 
 def restore_train_state(directory: str, step: Optional[int] = None) -> Optional[dict]:
-    """Restore the given (or latest) checkpoint; None if absent."""
+    """Restore the given (or latest) checkpoint; None if absent — for an
+    explicit ``step`` too (a missing step_<N> dir returns None rather than
+    leaking orbax's FileNotFoundError)."""
     if step is None:
         step = latest_step(directory)
         if step is None:
             return None
     path = os.path.join(os.path.abspath(directory), f"step_{step}")
+    if not os.path.isdir(path):
+        return None
     return _checkpointer().restore(path)

@@ -773,7 +773,12 @@ class Trainer:
             best_params = restored_extra["best_params"]
         else:
             best_params = jax.tree_util.tree_map(np.asarray, params)
-        lr = o.learning_rate
+        # restore the in-effect learning rate (decay schedule position and
+        # any NaN-recovery halvings) — resetting to the base lr would make a
+        # resumed decay run train with up to (1-decay_rate)^-epochs too-large
+        # steps vs the uninterrupted run the restored early-stop state
+        # otherwise matches
+        lr = float(restored_extra.get("lr", o.learning_rate))
         epochs_run = 0
 
         # device-resident training data: the dense tensors live in HBM and
@@ -881,6 +886,12 @@ class Trainer:
                     f"GL loss = {gl:.3f}, GQ = {pq:.3f}, CR = {cr:.3f} "
                     f"({time.time() - t0:.1f}sec)")
 
+            # decay BEFORE the checkpoint so the saved lr is the one the
+            # next epoch will train with — a resumed run then continues the
+            # schedule exactly where the uninterrupted run would be
+            if o.decay_start is not None and epoch + 1 >= o.decay_start and o.decay_rate:
+                lr = lr * (1.0 - o.decay_rate)
+
             if o.checkpoint_dir and (epoch + 1) % o.checkpoint_every == 0:
                 from ip_avsr_tpu.train import checkpoints as ckpt_lib
 
@@ -891,13 +902,12 @@ class Trainer:
                            "cost_train": np.asarray(cost_train),
                            "cost_val": np.asarray(cost_val),
                            "val_window": np.asarray(list(val_window)),
-                           "train_strip": train_strip.copy()})
+                           "train_strip": train_strip.copy(),
+                           "lr": np.float64(lr)})
 
             if epoch >= o.validation_window and early_stop2(val_window, best_val,
                                                             o.validation_window):
                 break
-            if o.decay_start is not None and epoch + 1 >= o.decay_start and o.decay_rate:
-                lr = lr * (1.0 - o.decay_rate)
 
         if test_conf is None:
             test_cr, test_conf = self.evaluate(

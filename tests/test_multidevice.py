@@ -403,3 +403,22 @@ def test_checkpoint_resume_across_mesh_shapes(tmp_path):
     assert abs(r_one.test_cr - ref.test_cr) < 1e-9, (r_one.test_cr,
                                                      ref.test_cr)
     assert abs(r_one.best_cr - ref.best_cr) < 1e-9
+
+
+def test_param_shardings_demote_on_missing_axis():
+    """The default encoder rules on a 1-D data-only mesh must demote to
+    replicated (documented behavior), not KeyError on the absent 'model'
+    axis (review r6)."""
+    from jax.sharding import PartitionSpec as P
+
+    from ip_avsr_tpu.models import adenet as adenet_mod
+    from ip_avsr_tpu.models import zoo as zoo_mod
+
+    cfg = zoo_mod.adenet_v2(20, 8, (16, 12, 6),
+                            ("sigmoid", "sigmoid", "linear"),
+                            lstm_size=6, window=3, output_classes=7)
+    params = adenet_mod.init_adenet_params(jax.random.PRNGKey(0), cfg)
+    sh = mesh_lib.param_shardings(params, mesh_lib.make_mesh())
+    for leaf in jax.tree_util.tree_leaves(
+            sh, is_leaf=lambda x: hasattr(x, "spec")):
+        assert leaf.spec == P()

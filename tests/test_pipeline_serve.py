@@ -245,3 +245,45 @@ def test_bucketed_server_novote_slices_time_padding():
     mask = (np.arange(5)[None, :] < lengths[:, None]).astype(np.float32)
     want = np.asarray(plain([jnp.asarray(x)], jnp.asarray(mask)))
     np.testing.assert_allclose(scores, want, rtol=1e-5, atol=1e-6)
+
+
+def test_pipelined_server_flushes_on_shape_change():
+    """Per-step (vote=False) servers return (B, T, C): requests with
+    different T must not crash the block concat — the server flushes the
+    block on a trailing-shape change and still yields results in order
+    (review r6)."""
+    import jax
+
+    from ip_avsr_tpu.models import adenet, zoo
+    from ip_avsr_tpu import serve as serve_mod
+
+    cfg = zoo.lstm_classifier_majority_vote(6, lstm_size=6, output_classes=3)
+    params = adenet.init_adenet_params(jax.random.PRNGKey(0), cfg)
+    rng = np.random.RandomState(0)
+    fn = serve_mod.make_server(params, cfg, vote=False)
+
+    reqs = []
+    for i, T in enumerate([7, 7, 9, 7, 9, 9, 5]):
+        x = rng.randn(1, T, 6).astype(np.float32)
+        m = np.ones((1, T), np.float32)
+        reqs.append(([x], m))
+    pipe = serve_mod.PipelinedServer(serve_fn=fn, depth=3)
+    got = list(pipe.map(iter(reqs)))
+    assert len(got) == len(reqs)
+    for (streams, m), out in zip(reqs, got):
+        ref = np.asarray(fn(streams, m))
+        np.testing.assert_allclose(out, ref, rtol=1e-6, atol=1e-7)
+
+
+def test_trimodal_server_validates_dct_norm_args():
+    import jax
+    import pytest
+
+    from ip_avsr_tpu.models import adenet, zoo
+    from ip_avsr_tpu import serve as serve_mod
+
+    cfg = zoo.adenet_v3(24, 8, 24, lstm_size=6, window=3, output_classes=5)
+    params = adenet.init_adenet_params(jax.random.PRNGKey(0), cfg)
+    with pytest.raises(ValueError, match="together"):
+        serve_mod.make_trimodal_server(params, cfg, (4, 6), dct_coeffs=8,
+                                       dct_mean=np.zeros(8, np.float32))

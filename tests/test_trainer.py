@@ -420,3 +420,33 @@ def test_grad_accum_composes_with_data_parallel_mesh():
     jax.tree_util.tree_map(
         lambda a, b: np.testing.assert_allclose(
             np.asarray(a), np.asarray(b), rtol=2e-5, atol=1e-7), p1, p2)
+
+
+def test_resume_continues_lr_decay_schedule(tmp_path):
+    """A resumed decay run must continue the lr schedule where the
+    uninterrupted run would be (review r6: resume used to reset lr to the
+    base value, training with up to (1-decay_rate)^-epochs too-large
+    steps)."""
+    X, y, lens = make_synthetic(20)
+    cfg = zoo.lstm_classifier_majority_vote(12, lstm_size=8, output_classes=4)
+    kw = dict(epochsize=2, batchsize=8, learning_rate=0.04,
+              validation_window=50, decay_start=1, decay_rate=0.5, seed=0,
+              log_fn=lambda s: None)
+    data = (([X], y, lens),) * 3
+
+    straight = Trainer(cfg, TrainOptions(num_epoch=6, **kw)).fit(*data)
+
+    ckdir = str(tmp_path / "ck")
+    Trainer(cfg, TrainOptions(num_epoch=3, checkpoint_dir=ckdir, **kw)).fit(*data)
+    resumed = Trainer(cfg, TrainOptions(num_epoch=6, checkpoint_dir=ckdir,
+                                        resume=True, **kw)).fit(*data)
+    assert resumed.final_lr == pytest.approx(straight.final_lr, rel=1e-12), \
+        (resumed.final_lr, straight.final_lr)
+    # and the restored lr actually was the post-decay one, not the base
+    assert resumed.final_lr < 0.04 * 0.5 ** 4
+
+
+def test_restore_train_state_missing_step_returns_none(tmp_path):
+    from ip_avsr_tpu.train import checkpoints
+
+    assert checkpoints.restore_train_state(str(tmp_path), step=99) is None
