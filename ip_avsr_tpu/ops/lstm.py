@@ -180,6 +180,13 @@ def lstm_forward(
         return _lstm_core(static, params["w_in"], params["w_hid"], params["b"],
                           params["cell_init"], params["hid_init"], x, mask)
 
+    if remat or residual_dtype is not None:
+        # both are residual-layout levers of the custom-VJP cores; the
+        # plain-autodiff path has no residual machinery, and silently
+        # ignoring them would make a remat-on-vs-off comparison through
+        # this flag compare two identical programs
+        raise ValueError("remat / residual_dtype require use_custom_vjp=True")
+
     if backwards:
         x = jnp.flip(x, axis=1)
         mask = jnp.flip(mask, axis=1)
@@ -266,7 +273,12 @@ def _static_extras(static):
     return remat, resd
 
 
-def _pallas_train_ok(B, T, H) -> bool:
+def _pallas_train_ok(B, T, H, dtype=None) -> bool:
+    # the kernels' out_shape/scratch are f32; any other compute dtype
+    # (f64 under the x64 finite-difference suite, bf16 states) must take
+    # the XLA scan, which follows the input dtype
+    if dtype is not None and jnp.dtype(dtype) != jnp.float32:
+        return False
     try:
         from ip_avsr_tpu.ops.pallas import lstm_kernel
 
@@ -352,7 +364,7 @@ def _lstm_core_fwd_impl(static, w_in, w_hid, b, cell_init, hid_init, x, mask):
             x_proj_t, mask_t, cell0, hid0, w_hid_mm, H, f32,
             collect_residuals="hc")
         gates_pre = jnp.zeros((), f32)
-    elif _pallas_train_ok(B, T, H):
+    elif _pallas_train_ok(B, T, H, f32):
         from ip_avsr_tpu.ops.pallas import lstm_kernel
 
         hids, cells, gates_pre = lstm_kernel.lstm_pallas_train(
@@ -396,11 +408,15 @@ def _lstm_core_primal_impl(static, w_in, w_hid, b, cell_init, hid_init, x, mask)
         static, w_in, w_hid, b, cell_init, hid_init, x, mask)
     B, T = x.shape[0], x.shape[1]
 
-    if _pallas_train_ok(B, T, H):
+    if _pallas_train_ok(B, T, H, f32):
         from ip_avsr_tpu.ops.pallas import lstm_kernel
 
+        # block_b=128 matches what should_use_pallas_train sized the VMEM
+        # working set for (the kernel default of 256 would double it and
+        # could exceed VMEM on shapes just inside the gate); 128 vs 256 is
+        # a measured wash at these shapes (docs/DESIGN.md)
         out = lstm_kernel.lstm_pallas(x_proj, w_hid_mm, mask.astype(f32),
-                                      cell0, hid0)
+                                      cell0, hid0, block_b=128)
     else:
         x_proj_t = jnp.transpose(x_proj, (1, 0, 2))
         mask_t = jnp.transpose(mask, (1, 0))[..., None]
@@ -489,7 +505,7 @@ def _lstm_core_bwd(static, residuals, g_out):
         dcell_prev = dcell_cand * f + (1.0 - m) * dcell_next
         return (dcell_prev, dhid_prev), dgates
 
-    if _pallas_train_ok(B, T, H):
+    if _pallas_train_ok(B, T, H, f32):
         from ip_avsr_tpu.ops.pallas import lstm_kernel
 
         dgates_all, dcell0_g, dhid0_g = lstm_kernel.lstm_pallas_bwd_chain(
@@ -588,7 +604,7 @@ def _lstm_core_peep_fwd_impl(static, w_in, w_hid, b, cell_init, hid_init,
             x_proj_t, mask_t, cell0, hid0, w_hid_mm, w_ci, w_cf, w_co, H, f32,
             collect_residuals="hc")
         gates_pre = jnp.zeros((), f32)
-    elif _pallas_train_ok(B, T, H):
+    elif _pallas_train_ok(B, T, H, f32):
         from ip_avsr_tpu.ops.pallas import lstm_kernel
 
         hids, cells, gates_pre = lstm_kernel.lstm_pallas_peep_train(
@@ -619,7 +635,7 @@ def _lstm_core_peep_primal_impl(static, w_in, w_hid, b, cell_init, hid_init,
         static, w_in, w_hid, b, cell_init, hid_init, x, mask)
     B, T = x.shape[0], x.shape[1]
 
-    if _pallas_train_ok(B, T, H):
+    if _pallas_train_ok(B, T, H, f32):
         from ip_avsr_tpu.ops.pallas import lstm_kernel
 
         out = lstm_kernel.lstm_pallas_peep(x_proj, w_hid_mm,
@@ -721,7 +737,7 @@ def _lstm_core_peep_bwd(static, residuals, g_out):
                       + (1.0 - m) * dcell_next)
         return (dcell_prev, dhid_prev, dw_ci_acc, dw_cf_acc, dw_co_acc), dgates
 
-    if _pallas_train_ok(B, T, H):
+    if _pallas_train_ok(B, T, H, f32):
         from ip_avsr_tpu.ops.pallas import lstm_kernel
 
         (dgates_all, dcell0_g, dhid0_g, dw_ci, dw_cf,

@@ -126,6 +126,11 @@ def should_use_pallas(x, window: int) -> bool:
         return False
     if x.ndim != 3:
         return False
+    if window <= 0:
+        # the XLA path returns zero deltas for window<=0 (delta_coeff's
+        # explicit guard); the kernel's tap loop would be empty — keep the
+        # degenerate case on the branch that defines its semantics
+        return False
     B, T, D = x.shape
     block_bytes = (T + 2 * window) * D * x.dtype.itemsize
     return 5 * block_bytes < _VMEM_BUDGET_BYTES and T * D >= 16 * 128

@@ -14,12 +14,13 @@ recurrence as a Pallas grid sweep over (batch tiles, time):
     each batch tile.
 
 Semantics are identical to ops/lstm.lstm_forward (Lasagne mask-carry).
-Six kernels — three per peephole setting: ``_lstm[_peep]_kernel``
-(inference forward), ``_lstm[_peep]_train_kernel`` (forward that also
-writes the custom-VJP residuals: post-mask cells + pre-activation gates),
-and ``_lstm[_peep]_bwd_kernel`` (the reverse-time backward chain; the
+Four kernel bodies — two per peephole setting: ``_lstm[_peep]_fwd_kernel``
+(the one forward recurrence; ``emit_residuals`` selects whether the
+custom-VJP residuals — post-mask cells + pre-activation gates — are also
+written, so inference and training share one set of numerics) and
+``_lstm[_peep]_bwd_kernel`` (the reverse-time backward chain; the
 peephole variant accumulates the three (H,) peephole gradients in VMEM
-scratch).  The training kernels are dispatched by ops/lstm._lstm_core /
+scratch).  The training entry points are dispatched by ops/lstm._lstm_core /
 _lstm_core_peep when shapes fit VMEM; the XLA scans remain the fallback
 and numerical reference.
 """
@@ -38,12 +39,21 @@ except ImportError:  # pragma: no cover
     pltpu = None
 
 
-def _lstm_kernel(x_proj_ref, w_hid_ref, mask_ref, cell0_ref, hid0_ref, out_ref,
-                 cell_scr, hid_scr, *, H: int):
-    """Mosaic layout notes: x_proj/out are time-major (T, B, 4H)/(T, B, H) so
+def _lstm_fwd_kernel(x_proj_ref, w_hid_ref, mask_ref, cell0_ref, hid0_ref,
+                     *refs, H: int, emit_residuals: bool):
+    """The ONE non-peephole forward recurrence body (inference and training
+    differ only in whether the custom-VJP residuals — post-mask cells +
+    pre-activation gates — are written; a single body keeps the numerics in
+    one place).  ``refs`` is (out[, cells, gates], cell_scr, hid_scr).
+
+    Mosaic layout notes: x_proj/out are time-major (T, B, 4H)/(T, B, H) so
     the per-step block's last two dims are (block_b, lanes) — tileable; the
     mask is lane-padded to (T, B, 128) so its per-step block is tileable too
     (dynamic lane slicing can't be proven 128-aligned by Mosaic)."""
+    if emit_residuals:
+        out_ref, cells_ref, gates_ref, cell_scr, hid_scr = refs
+    else:
+        out_ref, cell_scr, hid_scr = refs
     t = pl.program_id(1)
 
     @pl.when(t == 0)
@@ -73,6 +83,9 @@ def _lstm_kernel(x_proj_ref, w_hid_ref, mask_ref, cell0_ref, hid0_ref, out_ref,
     cell_scr[...] = cell
     hid_scr[...] = hid
     out_ref[0] = hid
+    if emit_residuals:
+        cells_ref[0] = cell
+        gates_ref[0] = gates
 
 
 def lstm_pallas(x_proj, w_hid, mask, cell0, hid0, *, block_b: int = 256,
@@ -93,7 +106,7 @@ def lstm_pallas(x_proj, w_hid, mask, cell0, hid0, *, block_b: int = 256,
 
     x_proj_t = jnp.transpose(x_proj, (1, 0, 2))  # (T, Bp, 4H)
     mask_t = jnp.broadcast_to(jnp.transpose(mask)[..., None], (T, Bp, 128))
-    kernel = functools.partial(_lstm_kernel, H=H)
+    kernel = functools.partial(_lstm_fwd_kernel, H=H, emit_residuals=False)
     out = pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((T, Bp, H), jnp.float32),
@@ -113,44 +126,6 @@ def lstm_pallas(x_proj, w_hid, mask, cell0, hid0, *, block_b: int = 256,
         interpret=interpret,
     )(x_proj_t, w_hid, mask_t, cell0, hid0)
     return jnp.transpose(out, (1, 0, 2))[:B]
-
-
-def _lstm_train_kernel(x_proj_ref, w_hid_ref, mask_ref, cell0_ref, hid0_ref,
-                       out_ref, cells_ref, gates_ref, cell_scr, hid_scr, *, H: int):
-    """Forward recurrence that also writes the training residuals: the
-    post-mask cell states and the pre-activation gates (what the custom VJP
-    in ops/lstm.py consumes).  Same layout rules as _lstm_kernel."""
-    t = pl.program_id(1)
-
-    @pl.when(t == 0)
-    def _init():
-        cell_scr[...] = cell0_ref[...]
-        hid_scr[...] = hid0_ref[...]
-
-    cell_prev = cell_scr[...]
-    hid_prev = hid_scr[...]
-
-    gates = x_proj_ref[0] + jnp.dot(
-        hid_prev.astype(w_hid_ref.dtype), w_hid_ref[...],
-        preferred_element_type=jnp.float32,
-    )
-    ingate = jax.nn.sigmoid(gates[:, 0 * H : 1 * H])
-    forgetgate = jax.nn.sigmoid(gates[:, 1 * H : 2 * H])
-    cell_input = jnp.tanh(gates[:, 2 * H : 3 * H])
-    outgate = jax.nn.sigmoid(gates[:, 3 * H : 4 * H])
-
-    cell = forgetgate * cell_prev + ingate * cell_input
-    hid = outgate * jnp.tanh(cell)
-
-    m = mask_ref[0][:, 0:1]
-    cell = m * cell + (1.0 - m) * cell_prev
-    hid = m * hid + (1.0 - m) * hid_prev
-
-    cell_scr[...] = cell
-    hid_scr[...] = hid
-    out_ref[0] = hid
-    cells_ref[0] = cell
-    gates_ref[0] = gates
 
 
 def lstm_pallas_train(x_proj_t, w_hid, mask_t, cell0, hid0, *,
@@ -173,7 +148,7 @@ def lstm_pallas_train(x_proj_t, w_hid, mask_t, cell0, hid0, *,
     Bp = x_proj_t.shape[1]
 
     mask_l = jnp.broadcast_to(mask_t, (T, Bp, 128))
-    kernel = functools.partial(_lstm_train_kernel, H=H)
+    kernel = functools.partial(_lstm_fwd_kernel, H=H, emit_residuals=True)
     hids, cells, gates = pl.pallas_call(
         kernel,
         out_shape=(
@@ -207,7 +182,7 @@ def lstm_pallas_train(x_proj_t, w_hid, mask_t, cell0, hid0, *,
 
 def _lstm_bwd_kernel(g_out_ref, gates_ref, cells_ref, cells_prev_ref,
                      mask_ref, w_hid_t_ref, dgates_ref, dcell0_ref, dhid0_ref,
-                     dcell_scr, dhid_scr, *, H: int, T: int, clip: float):
+                     dcell_scr, dhid_scr, *, H: int, clip: float):
     """Reverse-time chain: elementwise gate backward + the one unavoidable
     dgates @ W_hid^T matmul per step, with W_hid VMEM-resident and the
     (dcell, dhid) carry in scratch.  Emits dgates per step plus the final
@@ -281,7 +256,7 @@ def lstm_pallas_bwd_chain(g_out_t, gates_pre, cells, cells_prev, mask_t, w_hid,
 
     mask_l = jnp.broadcast_to(mask_t, (T, Bp, 128))
     rev = lambda b, t: (T - 1 - t, b, 0)  # noqa: E731  reverse-time block maps
-    kernel = functools.partial(_lstm_bwd_kernel, H=H, T=T, clip=float(clip or 0.0))
+    kernel = functools.partial(_lstm_bwd_kernel, H=H, clip=float(clip or 0.0))
     dgates, dcell0, dhid0 = pl.pallas_call(
         kernel,
         out_shape=(
@@ -322,9 +297,16 @@ def lstm_pallas_bwd_chain(g_out_t, gates_pre, cells, cells_prev, mask_t, w_hid,
 # kernel share one backward formulation.
 # ---------------------------------------------------------------------------
 
-def _lstm_peep_kernel(x_proj_ref, w_hid_ref, mask_ref, cell0_ref, hid0_ref,
-                      wci_ref, wcf_ref, wco_ref, out_ref, cell_scr, hid_scr,
-                      *, H: int):
+def _lstm_peep_fwd_kernel(x_proj_ref, w_hid_ref, mask_ref, cell0_ref,
+                          hid0_ref, wci_ref, wcf_ref, wco_ref, *refs,
+                          H: int, emit_residuals: bool):
+    """The ONE peephole forward body (see _lstm_fwd_kernel).  Training
+    residuals: post-mask cells + PRE-peephole gate pre-activations.
+    ``refs`` is (out[, cells, gates], cell_scr, hid_scr)."""
+    if emit_residuals:
+        out_ref, cells_ref, gates_ref, cell_scr, hid_scr = refs
+    else:
+        out_ref, cell_scr, hid_scr = refs
     t = pl.program_id(1)
 
     @pl.when(t == 0)
@@ -353,6 +335,9 @@ def _lstm_peep_kernel(x_proj_ref, w_hid_ref, mask_ref, cell0_ref, hid0_ref,
     cell_scr[...] = cell
     hid_scr[...] = hid
     out_ref[0] = hid
+    if emit_residuals:
+        cells_ref[0] = cell
+        gates_ref[0] = gates
 
 
 def lstm_pallas_peep(x_proj, w_hid, mask, cell0, hid0, w_ci, w_cf, w_co, *,
@@ -373,7 +358,8 @@ def lstm_pallas_peep(x_proj, w_hid, mask, cell0, hid0, w_ci, w_cf, w_co, *,
     x_proj_t = jnp.transpose(x_proj, (1, 0, 2))
     mask_t = jnp.broadcast_to(jnp.transpose(mask)[..., None], (T, Bp, 128))
     peep = lambda v: v.reshape(1, H).astype(jnp.float32)  # noqa: E731
-    kernel = functools.partial(_lstm_peep_kernel, H=H)
+    kernel = functools.partial(_lstm_peep_fwd_kernel, H=H,
+                               emit_residuals=False)
     const = lambda b, t: (0, 0)  # noqa: E731
     out = pl.pallas_call(
         kernel,
@@ -399,43 +385,6 @@ def lstm_pallas_peep(x_proj, w_hid, mask, cell0, hid0, w_ci, w_cf, w_co, *,
     return jnp.transpose(out, (1, 0, 2))[:B]
 
 
-def _lstm_peep_train_kernel(x_proj_ref, w_hid_ref, mask_ref, cell0_ref,
-                            hid0_ref, wci_ref, wcf_ref, wco_ref, out_ref,
-                            cells_ref, gates_ref, cell_scr, hid_scr, *, H: int):
-    """Peephole forward emitting the custom-VJP residuals (post-mask cells +
-    PRE-peephole gate pre-activations)."""
-    t = pl.program_id(1)
-
-    @pl.when(t == 0)
-    def _init():
-        cell_scr[...] = cell0_ref[...]
-        hid_scr[...] = hid0_ref[...]
-
-    cell_prev = cell_scr[...]
-    hid_prev = hid_scr[...]
-
-    gates = x_proj_ref[0] + jnp.dot(
-        hid_prev.astype(w_hid_ref.dtype), w_hid_ref[...],
-        preferred_element_type=jnp.float32,
-    )
-    ingate = jax.nn.sigmoid(gates[:, 0 * H : 1 * H] + cell_prev * wci_ref[...])
-    forgetgate = jax.nn.sigmoid(gates[:, 1 * H : 2 * H] + cell_prev * wcf_ref[...])
-    cell_input = jnp.tanh(gates[:, 2 * H : 3 * H])
-    cell = forgetgate * cell_prev + ingate * cell_input
-    outgate = jax.nn.sigmoid(gates[:, 3 * H : 4 * H] + cell * wco_ref[...])
-    hid = outgate * jnp.tanh(cell)
-
-    m = mask_ref[0][:, 0:1]
-    cell = m * cell + (1.0 - m) * cell_prev
-    hid = m * hid + (1.0 - m) * hid_prev
-
-    cell_scr[...] = cell
-    hid_scr[...] = hid
-    out_ref[0] = hid
-    cells_ref[0] = cell
-    gates_ref[0] = gates
-
-
 def lstm_pallas_peep_train(x_proj_t, w_hid, mask_t, cell0, hid0, w_ci, w_cf,
                            w_co, *, block_b: int = 128, interpret: bool = False):
     """Peephole twin of :func:`lstm_pallas_train`; returns
@@ -454,7 +403,8 @@ def lstm_pallas_peep_train(x_proj_t, w_hid, mask_t, cell0, hid0, w_ci, w_cf,
     mask_l = jnp.broadcast_to(mask_t, (T, Bp, 128))
     peep = lambda v: v.reshape(1, H).astype(jnp.float32)  # noqa: E731
     const = lambda b, t: (0, 0)  # noqa: E731
-    kernel = functools.partial(_lstm_peep_train_kernel, H=H)
+    kernel = functools.partial(_lstm_peep_fwd_kernel, H=H,
+                               emit_residuals=True)
     hids, cells, gates = pl.pallas_call(
         kernel,
         out_shape=(
@@ -493,7 +443,7 @@ def _lstm_peep_bwd_kernel(g_out_ref, gates_ref, cells_ref, cells_prev_ref,
                           mask_ref, w_hid_t_ref, wci_ref, wcf_ref, wco_ref,
                           dgates_ref, dcell0_ref, dhid0_ref, dwci_ref,
                           dwcf_ref, dwco_ref, dcell_scr, dhid_scr, wci_scr,
-                          wcf_scr, wco_scr, *, H: int, T: int, clip: float):
+                          wcf_scr, wco_scr, *, H: int, clip: float):
     """Peephole reverse-time chain.  On top of the non-peephole kernel:
     the gate activations are recomputed WITH the peephole adds, the cell
     cotangent picks up the in/forget peephole routes, and the three (H,)
@@ -582,7 +532,7 @@ def lstm_pallas_peep_bwd_chain(g_out_t, gates_pre, cells, cells_prev, mask_t,
     rev = lambda b, t: (T - 1 - t, b, 0)  # noqa: E731
     const = lambda b, t: (0, 0)  # noqa: E731
     peep = lambda v: v.reshape(1, H).astype(jnp.float32)  # noqa: E731
-    kernel = functools.partial(_lstm_peep_bwd_kernel, H=H, T=T,
+    kernel = functools.partial(_lstm_peep_bwd_kernel, H=H,
                                clip=float(clip or 0.0))
     dgates, dcell0, dhid0, dwci, dwcf, dwco = pl.pallas_call(
         kernel,
@@ -658,37 +608,27 @@ def lstm_forward_pallas(params, x, mask, backwards: bool = False,
                         interpret: bool = False):
     """Drop-in (inference-only) replacement for ops/lstm.lstm_forward:
     the big input projection stays a plain XLA matmul, the recurrence runs
-    in the Pallas kernel (peephole models use the peephole kernel)."""
+    in the Pallas kernel (peephole models use the peephole kernel).  The
+    flip/projection/broadcast prologue is ops/lstm._lstm_prep — ONE place
+    owns those numerics (incl. the accumulation-dtype rule)."""
+    from ip_avsr_tpu.ops import lstm as lstm_ops
+
     B, T, D = x.shape
-    H = params["w_hid"].shape[0]
     if mask is None:
         mask = jnp.ones((B, T), jnp.float32)
     mask = mask.astype(jnp.float32)
-    if backwards:
-        x = jnp.flip(x, axis=1)
-        mask = jnp.flip(mask, axis=1)
-
-    w_in = params["w_in"]
-    if matmul_dtype is not None:
-        x_mm, w_in_mm = x.astype(matmul_dtype), w_in.astype(matmul_dtype)
-    else:
-        x_mm, w_in_mm = x, w_in
-    x_proj = jnp.dot(x_mm.reshape(B * T, D), w_in_mm,
-                     preferred_element_type=jnp.float32).reshape(B, T, 4 * H)
-    x_proj = x_proj + params["b"]
-
-    w_hid = params["w_hid"].astype(matmul_dtype) if matmul_dtype is not None \
-        else params["w_hid"]
-    cell0 = jnp.broadcast_to(params["cell_init"], (B, H)).astype(jnp.float32)
-    hid0 = jnp.broadcast_to(params["hid_init"], (B, H)).astype(jnp.float32)
+    md = jnp.dtype(matmul_dtype).name if matmul_dtype is not None else None
+    x, mask, x_proj, cell0, hid0, w_hid_mm, H, _f32 = lstm_ops._lstm_prep(
+        (bool(backwards), 0.0, md), params["w_in"], params["w_hid"],
+        params["b"], params["cell_init"], params["hid_init"], x, mask)
 
     if "w_cell_to_ingate" in params:
-        out = lstm_pallas_peep(x_proj, w_hid, mask, cell0, hid0,
+        out = lstm_pallas_peep(x_proj, w_hid_mm, mask, cell0, hid0,
                                params["w_cell_to_ingate"],
                                params["w_cell_to_forgetgate"],
                                params["w_cell_to_outgate"],
                                block_b=block_b, interpret=interpret)
     else:
-        out = lstm_pallas(x_proj, w_hid, mask, cell0, hid0, block_b=block_b,
+        out = lstm_pallas(x_proj, w_hid_mm, mask, cell0, hid0, block_b=block_b,
                           interpret=interpret)
     return jnp.flip(out, axis=1) if backwards else out

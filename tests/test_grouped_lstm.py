@@ -340,7 +340,8 @@ def test_pallas_peep_train_kernels_interpret_match_autodiff(monkeypatch):
 
     from ip_avsr_tpu.ops.pallas import lstm_kernel
 
-    monkeypatch.setattr(lstm, "_pallas_train_ok", lambda B, T, H: True)
+    monkeypatch.setattr(lstm, "_pallas_train_ok",
+                        lambda B, T, H, dtype=None: True)
     monkeypatch.setattr(
         lstm_kernel, "lstm_pallas_peep_train",
         functools.partial(lstm_kernel.lstm_pallas_peep_train, block_b=4,
