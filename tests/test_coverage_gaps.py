@@ -1,0 +1,567 @@
+"""Tests for code paths a line-coverage sweep (round 4) found unexercised.
+
+Each test pins real semantics — reference parity rules, validation errors
+users actually hit, and fallback branches — not just line execution.
+"""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from ip_avsr_tpu.models import zoo
+from ip_avsr_tpu.train.trainer import Trainer, TrainOptions
+
+
+# ---------------------------------------------------------------------------
+# utils/regularization.early_stop — the reference's FIRST stopping rule
+# (utils/regularization.py:1-11) was never executed by any test.
+# ---------------------------------------------------------------------------
+
+def test_early_stop_strictly_rising_window_stops():
+    from ip_avsr_tpu.utils.regularization import early_stop
+
+    # reference semantics: True only when every cost is STRICTLY above its
+    # predecessor (a plateau resets the rise and keeps training)
+    assert early_stop([1.0, 1.1, 1.3, 2.0]) is True
+    assert early_stop([1.0, 1.1, 1.1, 2.0]) is False  # plateau
+    assert early_stop([1.0, 0.9, 1.3, 2.0]) is False  # dip
+    assert early_stop([2.0]) is False  # short window never stops
+    assert early_stop([]) is False
+
+
+def test_early_stop2_threshold_counts_window_entries_above_best():
+    from ip_avsr_tpu.utils.regularization import early_stop2
+
+    assert early_stop2([1.0, 2.0, 2.0], min_val_cost=1.5, threshold=2) is True
+    assert early_stop2([1.0, 2.0, 1.2], min_val_cost=1.5, threshold=2) is False
+    assert early_stop2([9.0], min_val_cost=0.0, threshold=1) is False  # short
+
+
+# ---------------------------------------------------------------------------
+# utils/data_structures.CircularList — pop / setitem / init-fill contract
+# ---------------------------------------------------------------------------
+
+def test_circular_list_init_fill_pop_and_setitem():
+    from ip_avsr_tpu.utils.data_structures import circular_list
+
+    cl = circular_list(3, init=0.0)
+    assert list(cl) == [0.0, 0.0, 0.0]
+    cl.push(1.0)  # evicts the oldest
+    assert list(cl) == [0.0, 0.0, 1.0]
+    assert cl.pop() == 0.0
+    assert len(cl) == 2
+
+    cl2 = circular_list(2)
+    assert cl2.pop() is None  # empty pop is a no-op, not an error
+    cl2.push("a")
+    cl2.push("b")
+    cl2[0] = "c"
+    assert cl2[0] == "c" and cl2[1] == "b"
+    cl2.push("d")  # maxlen survives __setitem__'s rebuild
+    assert list(cl2) == ["b", "d"]
+
+
+# ---------------------------------------------------------------------------
+# ops/normalization.znormalize (ZNormalizeLayer) — untested
+# ---------------------------------------------------------------------------
+
+def test_znormalize_pools_all_leading_axes():
+    from ip_avsr_tpu.ops.normalization import znormalize
+
+    x = jnp.asarray(np.random.RandomState(0).randn(4, 5, 3) * 7 + 2,
+                    jnp.float32)
+    out = znormalize(x)
+    flat = np.asarray(out).reshape(-1, 3)
+    np.testing.assert_allclose(flat.mean(axis=0), 0.0, atol=1e-5)
+    np.testing.assert_allclose(flat.std(axis=0), 1.0, atol=1e-4)
+    assert out.shape == x.shape
+
+
+# ---------------------------------------------------------------------------
+# ops/nonlinearities — full registry sweep (several entries untested)
+# ---------------------------------------------------------------------------
+
+def test_nonlinearity_registry_full_sweep():
+    from ip_avsr_tpu.ops import nonlinearities as nl
+
+    x = jnp.asarray([-2.0, -0.5, 0.0, 0.5, 2.0], jnp.float32)
+    xn = np.asarray(x)
+    expected = {
+        "sigmoid": 1.0 / (1.0 + np.exp(-xn)),
+        "rectify": np.maximum(xn, 0.0),
+        "leaky_rectify": np.where(xn > 0, xn, 0.01 * xn),
+        "very_leaky_rectify": np.where(xn > 0, xn, xn / 3.0),
+        "tanh": np.tanh(xn),
+        "linear": xn,
+        "identity": xn,
+        "softplus": np.log1p(np.exp(xn)),
+        "elu": np.where(xn > 0, xn, np.expm1(xn)),
+        "scaled_tanh": np.tanh(xn),
+    }
+    for name, want in expected.items():
+        got = np.asarray(nl.select_nonlinearity(name)(x))
+        np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-6,
+                                   err_msg=name)
+    # softmax separately (normalizes over the last axis)
+    sm = np.asarray(nl.select_nonlinearity("softmax")(x))
+    np.testing.assert_allclose(sm.sum(), 1.0, rtol=1e-6)
+    # callables pass through; unknown names raise
+    f = nl.select_nonlinearity(np.tanh)
+    assert f is np.tanh
+    with pytest.raises(KeyError):
+        nl.select_nonlinearity("nope")
+
+
+# ---------------------------------------------------------------------------
+# models/encoder — layer/nonlinearity mismatch, deep-stack name sort,
+# output dim
+# ---------------------------------------------------------------------------
+
+def test_encoder_layer_count_mismatch_raises():
+    from ip_avsr_tpu.models import encoder
+
+    params = {"fc1": {"w": jnp.ones((4, 3)), "b": jnp.zeros((3,))},
+              "fc2": {"w": jnp.ones((3, 2)), "b": jnp.zeros((2,))}}
+    with pytest.raises(ValueError, match="nonlinearities"):
+        encoder.encoder_forward(params, jnp.ones((1, 4)), ["sigmoid"])
+
+
+def test_encoder_deep_stack_names_sort_numerically():
+    from ip_avsr_tpu.models.encoder import _layer_sort_key
+
+    names = ["fc10", "fc5", "fc2", "bottleneck", "fc1"]
+    # numeric order, with the canonical names first in init order
+    assert sorted(names, key=_layer_sort_key) == [
+        "fc1", "fc2", "bottleneck", "fc5", "fc10"]
+
+
+def test_encoder_output_dim():
+    from ip_avsr_tpu.models import encoder
+
+    params = {"fc1": {"w": jnp.ones((4, 3)), "b": jnp.zeros((3,))},
+              "fc2": {"w": jnp.ones((3, 7)), "b": jnp.zeros((7,))}}
+    assert encoder.encoder_output_dim(params) == 7
+
+
+# ---------------------------------------------------------------------------
+# data/datagen.gen_lstm_batch_seq — the sequential (unshuffled) generator
+# (utils/datagen.py:156-208) had no test at all.
+# ---------------------------------------------------------------------------
+
+def test_gen_lstm_batch_seq_sequential_and_zero_padded_tail():
+    from ip_avsr_tpu.data.datagen import gen_lstm_batch_seq
+
+    rng = np.random.RandomState(0)
+    lens = np.array([3, 5, 2, 4, 6])
+    X = rng.randn(int(lens.sum()), 4).astype(np.float32)
+    y_video = np.arange(len(lens)) % 3
+    y = np.repeat(y_video, lens)  # framewise targets (the generators' input)
+
+    gen = gen_lstm_batch_seq(X, y, lens, batchsize=2)
+    b1 = next(gen)
+    b2 = next(gen)
+    b3 = next(gen)  # partial: only video 4 left
+    b4 = next(gen)  # wrapped around to the start
+
+    maxt = int(lens.max())
+    for Xb, yb, mb in (b1, b2, b3, b4):
+        assert Xb.shape == (2, maxt, 4)
+        assert mb.shape == (2, maxt)
+
+    # sequential order: batch1 = videos 0,1; batch2 = 2,3; batch3 = 4 only
+    np.testing.assert_array_equal(b1[1], y_video[[0, 1]])
+    np.testing.assert_array_equal(b2[1], y_video[[2, 3]])
+    assert b3[1][0] == y_video[4]
+    # partial batch: unused rows are all-zero (reference semantics)
+    assert b3[2][1].sum() == 0
+    assert np.all(b3[0][1] == 0)
+    # wraparound restarts at video 0
+    np.testing.assert_array_equal(b4[1], y_video[[0, 1]])
+    # frames land where the mask says, matching the flat layout
+    np.testing.assert_allclose(b1[0][0][: lens[0]], X[: lens[0]])
+    assert b1[2][0][: lens[0]].all() and not b1[2][0][lens[0]:].any()
+
+
+# ---------------------------------------------------------------------------
+# train/trainer.TrainOptions validation — every misconfiguration message
+# ---------------------------------------------------------------------------
+
+def _tiny_cfg():
+    return zoo.lstm_classifier_majority_vote(6, lstm_size=4, output_classes=3)
+
+
+@pytest.mark.parametrize("opts, match", [
+    (dict(model_parallel=2, sequence_parallel=2), "mutually exclusive"),
+    (dict(model_parallel=2, mesh_mode="shard_map"), "gspmd"),
+    (dict(model_parallel=3), "does not divide"),
+    (dict(sequence_parallel=2, mesh_mode="shard_map"), "gspmd"),
+    (dict(sequence_parallel=2, bucket_boundaries=[8, 16]), "bucket_boundaries"),
+    (dict(sequence_parallel=2, multihost=True), "multihost"),
+    (dict(sequence_parallel=3), "does not divide"),
+    (dict(mesh_mode="bogus"), "unknown mesh_mode"),
+    (dict(grad_accum_steps=2, mesh_mode="shard_map", use_mesh=True), "gspmd"),
+    (dict(grad_accum_steps=7, batchsize=8), "must divide"),
+])
+def test_trainer_option_validation(opts, match):
+    with pytest.raises(ValueError, match=match):
+        Trainer(_tiny_cfg(), TrainOptions(log_fn=lambda s: None, **opts))
+
+
+def test_trainer_grad_accum_rejects_batchnorm():
+    cfg = zoo.adenet_v1(6, ([np.eye(6, 4).astype(np.float32)],
+                            [np.zeros(4, np.float32)], [4], ["sigmoid"]),
+                        lstm_size=4, output_classes=3)
+    with pytest.raises(ValueError, match="batch-norm"):
+        Trainer(cfg, TrainOptions(grad_accum_steps=2, batchsize=8,
+                                  log_fn=lambda s: None))
+
+
+# ---------------------------------------------------------------------------
+# train/trainer — profiling + NaN-check wrappers around fit() (SURVEY §5
+# aux subsystems) ran only by hand until now; device_eval fast path.
+# ---------------------------------------------------------------------------
+
+def _tiny_data(n=12, dim=6, classes=3, seed=0):
+    rng = np.random.RandomState(seed)
+    lens = rng.randint(3, 6, n)
+    yv = rng.randint(0, classes, n)
+    frames, ys = [], []
+    for l, c in zip(lens, yv):
+        base = np.zeros(dim)
+        base[c] = 3.0
+        frames.append(base + 0.2 * rng.randn(l, dim))
+        ys.append(np.full(l, c))
+    return ([np.concatenate(frames).astype(np.float32)],
+            np.concatenate(ys), lens)
+
+
+def test_trainer_profile_dir_writes_trace_and_restores_nan_flag(tmp_path):
+    prof = str(tmp_path / "trace")
+    data = _tiny_data()
+    opts = TrainOptions(num_epoch=1, epochsize=2, batchsize=6,
+                        profile_dir=prof, check_nans=True,
+                        log_fn=lambda s: None)
+    before = bool(jax.config.jax_debug_nans)
+    Trainer(_tiny_cfg(), opts).fit(data, data, data)
+    assert bool(jax.config.jax_debug_nans) == before  # restored
+    # the profiler actually wrote a trace
+    found = [os.path.join(r, f) for r, _, fs in os.walk(prof) for f in fs]
+    assert found, f"no profiler artifacts under {prof}"
+
+
+def test_trainer_device_eval_matches_host_eval():
+    data = _tiny_data(n=10)
+    common = dict(num_epoch=2, epochsize=3, batchsize=5, learning_rate=0.05,
+                  seed=0, log_fn=lambda s: None)
+    r_host = Trainer(_tiny_cfg(), TrainOptions(**common)).fit(data, data, data)
+    r_dev = Trainer(_tiny_cfg(), TrainOptions(device_eval=True,
+                                              **common)).fit(data, data, data)
+    assert r_dev.class_rate == pytest.approx(r_host.class_rate)
+    np.testing.assert_array_equal(r_dev.test_conf, r_host.test_conf)
+
+
+# ---------------------------------------------------------------------------
+# io/matio — split-file reader, scipy fallback of load_many, load_decoder's
+# select_nonlinearity hook
+# ---------------------------------------------------------------------------
+
+def test_read_data_split_file(tmp_path):
+    from ip_avsr_tpu.io.matio import read_data_split_file
+
+    p = tmp_path / "split.txt"
+    p.write_text("1,2,5\n")
+    assert read_data_split_file(str(p)) == [1, 2, 5]
+
+
+def test_load_many_scipy_fallback(tmp_path, monkeypatch):
+    import scipy.io as sio
+
+    from ip_avsr_tpu import native
+    from ip_avsr_tpu.io import matio
+
+    p = str(tmp_path / "a.mat")
+    sio.savemat(p, {"v": np.arange(3.0)})
+    monkeypatch.setattr(native, "available", lambda: False)
+    out = matio.load_mat_files([p, p])
+    assert len(out) == 2
+    np.testing.assert_allclose(out[0]["v"].ravel(), [0.0, 1.0, 2.0])
+
+
+def test_load_decoder_select_nonlinearity(tmp_path):
+    import scipy.io as sio
+
+    from ip_avsr_tpu.io.matio import load_decoder
+    from ip_avsr_tpu.ops import nonlinearities as nl
+
+    p = str(tmp_path / "enc.mat")
+    sio.savemat(p, {"w1": np.ones((4, 3)), "b1": np.zeros((1, 3)),
+                    "w2": np.ones((3, 2)), "b2": np.zeros((1, 2))})
+    w, b, shapes, fns = load_decoder(p, "3,2", "sigmoid,linear",
+                                     select_nonlinearity=nl.select_nonlinearity)
+    assert shapes == [3, 2]
+    assert fns[0] is nl.select_nonlinearity("sigmoid")
+    assert len(w) == 2 and len(b) == 2
+
+
+# ---------------------------------------------------------------------------
+# parallel/mesh — device-count validation and non-dict opt-state replicate
+# ---------------------------------------------------------------------------
+
+def test_mesh_device_count_validation():
+    from ip_avsr_tpu.parallel import mesh as mesh_lib
+
+    with pytest.raises(ValueError, match="need"):
+        mesh_lib.make_mesh(n_devices=99)
+    with pytest.raises(ValueError, match="devices"):
+        mesh_lib.make_mesh_nd({"data": 99, "model": 2})
+
+
+def test_replicate_opt_state_non_dict_branch():
+    from ip_avsr_tpu.parallel import mesh as mesh_lib
+
+    mesh = mesh_lib.make_mesh(n_devices=2)
+    state = (jnp.ones((3,)), jnp.zeros((2, 2)))  # tuple, not dict
+    out = mesh_lib.replicate(mesh, state)
+    assert isinstance(out, tuple)
+    np.testing.assert_allclose(np.asarray(out[0]), 1.0)
+
+
+# ---------------------------------------------------------------------------
+# ops/pallas/dispatch — context managers and the auto-dispatch gate
+# ---------------------------------------------------------------------------
+
+def test_dispatch_contexts_and_gate():
+    from ip_avsr_tpu.ops.pallas import dispatch
+
+    assert dispatch.shapes_are_local() is False
+    with dispatch.local_shapes():
+        assert dispatch.shapes_are_local() is True
+    assert dispatch.shapes_are_local() is False
+
+    # on the CPU test backend the gate is always False; disabled() must
+    # force False regardless of backend
+    with dispatch.disabled():
+        assert dispatch.auto_dispatch_ok() is False
+    assert dispatch.auto_dispatch_ok() is False  # cpu backend
+
+
+# ---------------------------------------------------------------------------
+# ops/initializers — 1D glorot raises (Lasagne parity), constant, passthrough
+# ---------------------------------------------------------------------------
+
+def test_initializers_gaps():
+    from ip_avsr_tpu.ops import initializers as inits
+
+    with pytest.raises(ValueError, match=">=2D"):
+        inits.glorot_uniform(jax.random.PRNGKey(0), (5,))
+    c = inits.constant(2.5)(jax.random.PRNGKey(0), (2, 3))
+    np.testing.assert_allclose(np.asarray(c), 2.5)
+    fn = inits.select_weight_init(np.ones)
+    assert fn is np.ones
+
+
+# ---------------------------------------------------------------------------
+# pretrain/rbm.normalise_data — 'linear' (mapstd) branch + ps reuse contract
+# ---------------------------------------------------------------------------
+
+def test_normalise_data_linear_mapstd_and_ps_reuse():
+    from ip_avsr_tpu.pretrain.rbm import normalise_data
+
+    rng = np.random.RandomState(0)
+    train = (rng.randn(50, 4) * 3 + 7).astype(np.float64)
+    out, ps = normalise_data("linear", train)
+    np.testing.assert_allclose(out.mean(axis=0), 0.0, atol=1e-12)
+    np.testing.assert_allclose(out.std(axis=0, ddof=1), 1.0, atol=1e-12)
+    # val/test reuse the TRAINING statistics
+    val = rng.randn(10, 4) * 100
+    out_val, _ = normalise_data("linear", val, ps)
+    np.testing.assert_allclose(out_val, (val - ps[0]) / ps[1])
+    # unknown tr_fcn passes through untouched
+    same, _ = normalise_data("other", val)
+    np.testing.assert_array_equal(same, val)
+
+
+# ---------------------------------------------------------------------------
+# ops/lstm — flag validation, mask=None default, and the bf16-matmul
+# training branches of the custom VJP (exercised on TPU by bench, never
+# by the CPU suite)
+# ---------------------------------------------------------------------------
+
+def _lstm_params(key, d, h):
+    from ip_avsr_tpu.ops import lstm as lstm_ops
+
+    return lstm_ops.init_lstm_params(key, d, h)
+
+
+def test_lstm_residual_levers_require_custom_vjp():
+    from ip_avsr_tpu.ops import lstm as lstm_ops
+
+    params = _lstm_params(jax.random.PRNGKey(0), 4, 3)
+    x = jnp.ones((2, 5, 4))
+    with pytest.raises(ValueError, match="use_custom_vjp"):
+        lstm_ops.lstm_forward(params, x, None, use_custom_vjp=False,
+                              remat=True)
+    with pytest.raises(ValueError, match="use_custom_vjp"):
+        lstm_ops.lstm_forward(params, x, None, use_custom_vjp=False,
+                              residual_dtype=jnp.bfloat16)
+
+
+def test_lstm_mask_none_equals_all_ones():
+    from ip_avsr_tpu.ops import lstm as lstm_ops
+
+    params = _lstm_params(jax.random.PRNGKey(1), 4, 3)
+    x = jnp.asarray(np.random.RandomState(0).randn(2, 5, 4), jnp.float32)
+    out_none = lstm_ops.lstm_forward(params, x, None, use_custom_vjp=False)
+    out_ones = lstm_ops.lstm_forward(params, x, jnp.ones((2, 5)),
+                                     use_custom_vjp=False)
+    np.testing.assert_allclose(np.asarray(out_none), np.asarray(out_ones))
+
+
+@pytest.mark.parametrize("peephole", [False, True])
+def test_custom_vjp_grads_match_autodiff_with_bf16_matmuls(peephole):
+    """The matmul_dtype branches of the custom backward (weight-gradient
+    casts) must equal plain autodiff OF THE SAME cast structure."""
+    from ip_avsr_tpu.ops import lstm as lstm_ops
+
+    rng = np.random.RandomState(3)
+    d, h = 4, 3
+    params = lstm_ops.init_lstm_params(jax.random.PRNGKey(2), d, h,
+                                       use_peepholes=peephole)
+    x = jnp.asarray(rng.randn(2, 6, d), jnp.float32)
+    mask = jnp.asarray((np.arange(6)[None, :] < np.array([[6], [4]])),
+                       jnp.float32)
+
+    def loss(p, custom):
+        out = lstm_ops.lstm_forward(p, x, mask, use_custom_vjp=custom,
+                                    matmul_dtype=jnp.bfloat16)
+        return jnp.sum(out * out)
+
+    g_custom = jax.grad(lambda p: loss(p, True))(params)
+    g_plain = jax.grad(lambda p: loss(p, False))(params)
+    for k in g_plain:
+        np.testing.assert_allclose(
+            np.asarray(g_custom[k]), np.asarray(g_plain[k]),
+            rtol=2e-2, atol=2e-3, err_msg=k)
+
+
+# ---------------------------------------------------------------------------
+# ops/pallas/delta_kernel.should_use_pallas — heuristic gate edges
+# ---------------------------------------------------------------------------
+
+def test_delta_should_use_pallas_gate_edges(monkeypatch):
+    from ip_avsr_tpu.ops.pallas import delta_kernel
+
+    good = jnp.zeros((8, 32, 128), jnp.float32)
+    # the gate is backend-independent given pallas is importable; force the
+    # availability check so the SHAPE rules are what's under test
+    monkeypatch.setattr(delta_kernel, "_available", lambda: True, raising=False)
+    if hasattr(delta_kernel, "pallas_available"):
+        monkeypatch.setattr(delta_kernel, "pallas_available", lambda: True)
+
+    assert delta_kernel.should_use_pallas(good, 0) is False  # degenerate win
+    assert delta_kernel.should_use_pallas(good, -1) is False
+    assert delta_kernel.should_use_pallas(jnp.zeros((8, 32)), 4) is False
+    tiny = jnp.zeros((8, 4, 16), jnp.float32)  # T*D below the MXU floor
+    assert delta_kernel.should_use_pallas(tiny, 4) is False
+    huge = jnp.zeros((1, 70000, 128), jnp.float32)  # blows the VMEM budget
+    assert delta_kernel.should_use_pallas(huge, 4) is False
+
+
+# ---------------------------------------------------------------------------
+# data/preprocessing — error branches of the quirk-preserving ops
+# ---------------------------------------------------------------------------
+
+def test_deltas_degenerate_window_and_bad_pad_mode():
+    from ip_avsr_tpu.data.preprocessing import deltas
+
+    x = np.random.RandomState(0).randn(4, 6)
+    np.testing.assert_array_equal(deltas(x, 1), np.zeros_like(x))  # hlen==0
+    with pytest.raises(ValueError, match="pad_mode"):
+        deltas(x, 9, pad_mode="bogus")
+
+
+def test_embed_temporal_info_validation_errors():
+    from ip_avsr_tpu.data.preprocessing import embed_temporal_info
+
+    X = np.zeros((12, 4))
+    targets = np.zeros(12, dtype=int)
+    lens = np.array([6, 6])
+    with pytest.raises(ValueError, match="window"):
+        embed_temporal_info(X, targets, lens, window=1, step=6)
+    with pytest.raises(ValueError, match="multiples"):
+        embed_temporal_info(X, np.zeros(11, dtype=int)[:11],
+                            np.array([6, 5]), window=6, step=3)
+
+
+# ---------------------------------------------------------------------------
+# utils/draw_net — batchnorm/dropout nodes and the pydot-less PNG fallback
+# ---------------------------------------------------------------------------
+
+def test_draw_net_bn_dropout_nodes_and_png_fallback(tmp_path):
+    from ip_avsr_tpu.utils import draw_net
+
+    cfg = zoo.adenet_v1(6, ([np.eye(6, 4).astype(np.float32)],
+                            [np.zeros(4, np.float32)], [4], ["sigmoid"]),
+                        lstm_size=4, output_classes=3)
+    # adenet_v1 carries BN; add dropout via a modified stream
+    import dataclasses
+
+    streams = [dataclasses.replace(cfg.streams[0], dropout=0.5)]
+    cfg = dataclasses.replace(cfg, streams=streams)
+    dot = draw_net.config_to_dot(cfg)
+    assert "batchnorm" in dot and "dropout" in dot and "fusion" in dot
+
+    out = draw_net.draw_to_file(cfg, str(tmp_path / "net.dot"))
+    assert out.endswith(".dot") and os.path.exists(out)
+    # pydot is not installed here: .png request falls back to .dot
+    out2 = draw_net.draw_to_file(cfg, str(tmp_path / "net.png"))
+    assert os.path.exists(out2)
+
+
+# ---------------------------------------------------------------------------
+# utils/ffmpeg — N/A fields parse to nan/-1 instead of crashing
+# ---------------------------------------------------------------------------
+
+def test_ffprobe_parse_handles_na_fields():
+    from ip_avsr_tpu.utils.ffmpeg import parse_ffprobe_output
+
+    text = """[FRAME]
+media_type=video
+pkt_pts=N/A
+pkt_pts_time=N/A
+pkt_duration_time=0.040000
+[/FRAME]
+[FRAME]
+media_type=audio
+pkt_pts=1024
+pkt_pts_time=0.064000
+[/FRAME]
+"""
+    audio, video = parse_ffprobe_output(text)
+    assert len(video) == 1 and len(audio) == 1
+    assert video[0].pkt_pts == -1
+    assert np.isnan(video[0].pkt_pts_time)
+    assert audio[0].pkt_pts == 1024
+
+
+# ---------------------------------------------------------------------------
+# serve.PipelinedServer.result — the public blocking fetch
+# ---------------------------------------------------------------------------
+
+def test_pipelined_server_result_blocks_to_numpy():
+    from ip_avsr_tpu import serve as serve_lib
+
+    cfg = _tiny_cfg()
+    from ip_avsr_tpu.models import adenet
+
+    params = adenet.init_adenet_params(jax.random.PRNGKey(0), cfg)
+    srv = serve_lib.PipelinedServer(params=params, config=cfg, depth=2)
+    x = np.random.RandomState(0).randn(1, 5, 6).astype(np.float32)
+    mask = np.ones((1, 5), np.float32)
+    h = srv.submit([x], mask)
+    out = srv.result(h)
+    assert isinstance(out, np.ndarray)
+    assert np.isfinite(out).all()
