@@ -78,6 +78,12 @@ def main(argv=None):
     aud_X = aud["dataMatrix"].astype(np.float32)
     aud_lens = aud["videoLengthVec"].reshape(-1).astype(np.int64)
 
+    # reduce a per-frame subjectsVec (AVLetters layout) to per-video while
+    # vidlens still matches its frame count — force_align pads videos to the
+    # longest stream, after which the original frame offsets are invalid
+    if len(subjects) != len(vidlens):
+        subjects = _video_subjects(subjects, vidlens)
+
     if not np.array_equal(vidlens, aud_lens):
         streams = pp.multistream_force_align([
             (vis_X, vis["targetsVec"].reshape(-1), vidlens),
@@ -97,8 +103,7 @@ def main(argv=None):
         val_ids = matio.read_data_split_file(args.val_subjects_file)
         test_ids = matio.read_data_split_file(args.test_subjects_file)
 
-    video_subjects = subjects if len(subjects) == len(vidlens) else _video_subjects(subjects, vidlens)
-    splits = [pp.split_seq_data(m, targets, video_subjects, vidlens,
+    splits = [pp.split_seq_data(m, targets, subjects, vidlens,
                                 train_ids, val_ids, test_ids)
               for m in (vis_X, aud_X)]
     train_streams = [s[0] for s in splits]

@@ -21,7 +21,7 @@ import argparse
 import jax
 import numpy as np
 
-from ip_avsr_tpu.cli.nstream import synthesize_dataset
+from ip_avsr_tpu.cli.nstream import _video_subjects, synthesize_dataset
 from ip_avsr_tpu.data import preprocessing as pp
 from ip_avsr_tpu.io import matio
 from ip_avsr_tpu.models import adenet, zoo
@@ -101,6 +101,10 @@ def main(argv=None):
     targets = raw["targetsVec"].reshape(-1).astype(np.int64) - 1
     subjects = raw["subjectsVec"].reshape(-1)
     vidlens = raw["videoLengthVec"].reshape(-1).astype(np.int64)
+    if len(subjects) != len(vidlens):
+        # per-frame subjectsVec (AVLetters layout) -> per-video, which is
+        # what loo_split_ids and split_seq_data consume
+        subjects = _video_subjects(subjects, vidlens)
 
     # preprocessing chain (oulu/leave_one_out.py:285-313): diff images from
     # the raw stream, mean-removed DCT, samplewise-normalized raw/diff

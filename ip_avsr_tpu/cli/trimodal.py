@@ -24,7 +24,7 @@ import argparse
 import jax
 import numpy as np
 
-from ip_avsr_tpu.cli.nstream import synthesize_dataset
+from ip_avsr_tpu.cli.nstream import _video_subjects, synthesize_dataset
 from ip_avsr_tpu.data import preprocessing as pp
 from ip_avsr_tpu.io import matio
 from ip_avsr_tpu.models import adenet, zoo
@@ -95,6 +95,10 @@ def main(argv=None):
     targets = raw["targetsVec"].reshape(-1).astype(np.int64) - 1
     subjects = raw["subjectsVec"].reshape(-1)
     vidlens = raw["videoLengthVec"].reshape(-1).astype(np.int64)
+    if len(subjects) != len(vidlens):
+        # per-frame subjectsVec (AVLetters layout) -> per-video, which is
+        # what split_seq_data and the LOO split consume
+        subjects = _video_subjects(subjects, vidlens)
 
     # preprocessing chain (oulu/trimodal_with_val.py:311-339):
     diff = pp.compute_diff_images(data, vidlens)

@@ -202,3 +202,97 @@ def test_nstream_pretrained_encoder_loads_on_real_path(tmp_path):
     stream0 = next(iter(captured["params"]["streams"].values()))
     got = np.asarray(stream0["encoder"]["fc1"]["w"])
     np.testing.assert_allclose(got, w1, rtol=1e-6)
+
+
+def test_audio_visual_per_frame_subjects_with_force_align(tmp_path):
+    """audio_visual reduced a per-frame subjectsVec AFTER force_align padded
+    the videos, indexing the original frame vector with post-alignment
+    offsets (regression for the round-4 fix; same class as nstream's)."""
+    from ip_avsr_tpu.cli import audio_visual
+
+    rng = np.random.RandomState(0)
+    n = 18
+    lens = rng.randint(5, 9, n)
+    y = rng.randint(1, 4, n)
+    subjects = np.arange(n) % 6 + 1
+
+    def frames(d, lens_s, seed):
+        r = np.random.RandomState(seed)
+        out = []
+        for l, c in zip(lens_s, y):
+            base = np.zeros(d, np.float32)
+            base[(c - 1) % d] = 2.0
+            out.append(base + 0.3 * r.randn(l, d).astype(np.float32))
+        return np.concatenate(out)
+
+    vis_p = str(tmp_path / "vis.mat")
+    aud_p = str(tmp_path / "aud.mat")
+    matio.save_mat({"dataMatrix": frames(24, lens, 1),
+                    "targetsVec": np.repeat(y, lens).reshape(-1, 1),
+                    # per-frame layout + audio lens mismatch = the crash
+                    "subjectsVec": np.repeat(subjects, lens).reshape(-1, 1),
+                    "videoLengthVec": lens.reshape(-1, 1)}, vis_p)
+    aud_lens = lens + 1
+    matio.save_mat({"dataMatrix": frames(13, aud_lens, 2),
+                    "targetsVec": np.repeat(y, aud_lens).reshape(-1, 1),
+                    "subjectsVec": np.repeat(subjects, aud_lens).reshape(-1, 1),
+                    "videoLengthVec": aud_lens.reshape(-1, 1)}, aud_p)
+    (tmp_path / "train.txt").write_text("1,2,3,4\n")
+    (tmp_path / "val.txt").write_text("5\n")
+    (tmp_path / "test.txt").write_text("6\n")
+
+    res = audio_visual.main([
+        "--visual", vis_p, "--audio", aud_p,
+        "--output-classes", "3", "--lstm_size", "6", "--windowsize", "3",
+        "--num_epoch", "1", "--epochsize", "4", "--batchsize", "6",
+        "--train_subjects_file", str(tmp_path / "train.txt"),
+        "--val_subjects_file", str(tmp_path / "val.txt"),
+        "--test_subjects_file", str(tmp_path / "test.txt")])
+    assert res.test_conf.sum() == int((subjects == 6).sum())
+    assert np.isfinite(res.best_val)
+
+
+def test_leave_one_out_per_frame_subjects(tmp_path):
+    """leave_one_out consumed subjectsVec raw; a per-frame layout made
+    split_seq_data repeat frame-level ids by video lengths (shape blowup /
+    garbage splits).  Now reduced to per-video first."""
+    from ip_avsr_tpu.cli import leave_one_out
+
+    rng = np.random.RandomState(0)
+    n = 15
+    lens = rng.randint(5, 8, n)
+    y = rng.randint(1, 4, n)
+    subjects = np.arange(n) % 5 + 1
+
+    def frames(d, seed):
+        r = np.random.RandomState(seed)
+        out = []
+        for l, c in zip(lens, y):
+            base = np.zeros(d, np.float32)
+            base[(c - 1) % d] = 2.0
+            out.append(base + 0.3 * r.randn(l, d).astype(np.float32))
+        return np.concatenate(out)
+
+    matio.save_mat({"dataMatrix": frames(24, 1),
+                    "targetsVec": np.repeat(y, lens).reshape(-1, 1),
+                    "subjectsVec": np.repeat(subjects, lens).reshape(-1, 1),
+                    "videoLengthVec": lens.reshape(-1, 1)},
+                   str(tmp_path / "images.mat"))
+    matio.save_mat({"dataMatrix": frames(12, 2)}, str(tmp_path / "dct.mat"))
+
+    import configparser
+
+    cp = configparser.ConfigParser()
+    cp["data"] = {"images": str(tmp_path / "images.mat"),
+                  "dct": str(tmp_path / "dct.mat"), "imagesize": "4,6"}
+    cp["models"] = {"lstm_size": "6", "output_classes": "3"}
+    cp["training"] = {"windowsize": "3", "num_epoch": "1", "epochsize": "4",
+                      "batchsize": "6", "learning_rate": "0.5",
+                      "validation_window": "10"}
+    with open(tmp_path / "loo.ini", "w") as f:
+        cp.write(f)
+
+    res = leave_one_out.main(["--config", str(tmp_path / "loo.ini"),
+                              "--test_subj", "2"])
+    assert res.test_conf.sum() == int((subjects == 2).sum())
+    assert np.isfinite(res.best_val)
