@@ -296,3 +296,89 @@ def test_leave_one_out_per_frame_subjects(tmp_path):
                               "--test_subj", "2"])
     assert res.test_conf.sum() == int((subjects == 2).sum())
     assert np.isfinite(res.best_val)
+
+
+def test_prepare_data_real_chain_roundtrip(tmp_path):
+    """prepare_data: every preprocessing flag on a real .mat, output schema
+    intact (the offline chain the reference spreads over oulu/prepare_data
+    and ad-hoc scripts)."""
+    from ip_avsr_tpu.cli import prepare_data
+    from ip_avsr_tpu.data import preprocessing as pp
+
+    rng = np.random.RandomState(0)
+    lens = np.array([6, 9, 6])
+    total = int(lens.sum())
+    X = rng.rand(total, 24).astype(np.float32)
+    y = np.repeat([1, 2, 3], lens)
+    matio.save_mat({"dataMatrix": X,
+                    "targetsVec": y.reshape(-1, 1),
+                    "videoLengthVec": lens.reshape(-1, 1)},
+                   str(tmp_path / "in.mat"))
+
+    out_p = str(tmp_path / "out.mat")
+    prepare_data.main(["--input", str(tmp_path / "in.mat"),
+                       "--output", out_p,
+                       "--imagesize", "4,6",
+                       "--reorder", "--meanremove", "--diff", "--samplewise",
+                       "--deltas", "3"])
+    out = matio.load_mat_files([out_p])[0]
+    # deltas triple the feature dim; frame count is unchanged
+    assert out["dataMatrix"].shape == (total, 72)
+    np.testing.assert_array_equal(out["videoLengthVec"].reshape(-1), lens)
+
+    # independent recomputation of the same chain
+    want = pp.reorder_data(X, (4, 6))
+    want = pp.sequencewise_mean_image_subtraction(want, lens)
+    want = pp.compute_diff_images(want, lens)
+    want = pp.normalize_input(want)
+    want = pp.concat_first_second_deltas(want, lens, w=3)
+    np.testing.assert_allclose(out["dataMatrix"], want, rtol=1e-5, atol=1e-6)
+
+
+def test_prepare_data_embed_changes_structure(tmp_path):
+    """--embed factorizes + temporally embeds: targets/vidlens change too."""
+    from ip_avsr_tpu.cli import prepare_data
+
+    rng = np.random.RandomState(0)
+    lens = np.array([6, 6])
+    X = rng.rand(int(lens.sum()), 8).astype(np.float32)
+    y = np.repeat([1, 2], lens)
+    matio.save_mat({"dataMatrix": X, "targetsVec": y.reshape(-1, 1),
+                    "videoLengthVec": lens.reshape(-1, 1)},
+                   str(tmp_path / "in.mat"))
+    out_p = str(tmp_path / "emb.mat")
+    prepare_data.main(["--input", str(tmp_path / "in.mat"),
+                       "--output", out_p, "--embed", "3,3"])
+    out = matio.load_mat_files([out_p])[0]
+    # matches the direct preprocessing calls (lengths already multiples of
+    # step, so factorize is the identity and the result is deterministic)
+    from ip_avsr_tpu.data import preprocessing as pp
+
+    want_X, want_y, want_l = pp.embed_temporal_info(X, y, lens, 3, 3)
+    np.testing.assert_allclose(out["dataMatrix"], want_X, rtol=1e-6)
+    np.testing.assert_array_equal(out["targetsVec"].reshape(-1), want_y)
+    np.testing.assert_array_equal(out["videoLengthVec"].reshape(-1), want_l)
+    assert out["videoLengthVec"].reshape(-1).sum() == out["dataMatrix"].shape[0]
+
+
+def test_convae_real_data_itervec_and_resize(tmp_path):
+    """convae's real branch: iterVec split selects iterations 1-2 and the
+    60x80 input is resized to 30x40 before training."""
+    from ip_avsr_tpu.cli import convae
+
+    rng = np.random.RandomState(0)
+    n_vids = 6
+    lens = np.full(n_vids, 3)
+    iters = np.array([1, 2, 3, 1, 2, 3])
+    X = rng.rand(int(lens.sum()), 4800).astype(np.float32)  # 60x80
+    matio.save_mat({"dataMatrix": X,
+                    "videoLengthVec": lens.reshape(-1, 1),
+                    "iterVec": iters.reshape(-1, 1)},
+                   str(tmp_path / "rois.mat"))
+    out_p = str(tmp_path / "enc.pkl")
+    convae.main(["--data", str(tmp_path / "rois.mat"), "--model", "batchnorm",
+                 "--epochs", "1", "--batchsize", "4", "--bottleneck", "8",
+                 "--dense", "16", "--out", out_p])
+    saved = matio.load_model(out_p)
+    assert saved["config"]["use_batchnorm"] is True
+    assert np.isfinite(saved["history"][-1])
