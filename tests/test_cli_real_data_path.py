@@ -382,3 +382,95 @@ def test_convae_real_data_itervec_and_resize(tmp_path):
     saved = matio.load_model(out_p)
     assert saved["config"]["use_batchnorm"] is True
     assert np.isfinite(saved["history"][-1])
+
+
+def test_train_then_demo_and_confusion_visualizer_with_model(tmp_path):
+    """The user workflow after training: --save_best -> demo --model ->
+    confusion_visualizer --model (real params file, real stream .mat)."""
+    from ip_avsr_tpu.cli import confusion_visualizer, demo, nstream
+
+    paths, lens, y, subjects = _make_corpus(tmp_path, dims=(24,))
+    (tmp_path / "train.txt").write_text("1,2,3,4\n")
+    (tmp_path / "val.txt").write_text("5\n")
+    (tmp_path / "test.txt").write_text("6\n")
+
+    cp = configparser.ConfigParser()
+    cp["stream1"] = {"data": paths[0], "imagesize": "4,6",
+                     "input_dimensions": "24", "shape": "16,8",
+                     "nonlinearities": "sigmoid,linear"}
+    cp["lstm_classifier"] = {"windowsize": "3", "output_classes": "4",
+                             "output_classnames": "a,b,c,d",
+                             "lstm_size": "10", "matlab_target_offset": "true"}
+    cp["training"] = {"num_epoch": "1", "epochsize": "4", "batchsize": "6",
+                      "validation_window": "50",
+                      "train_subjects_file": str(tmp_path / "train.txt"),
+                      "val_subjects_file": str(tmp_path / "val.txt"),
+                      "test_subjects_file": str(tmp_path / "test.txt")}
+    cfg_path = tmp_path / "wf.ini"
+    with open(cfg_path, "w") as f:
+        cp.write(f)
+
+    best_p = str(tmp_path / "best.mat")
+    nstream.main(["--config", str(cfg_path), "--save_best", best_p])
+
+    # demo loads the saved params (not the random-init smoke path)
+    demo.main(["--config", str(cfg_path), "--model", best_p,
+               "--synthetic", "3"])
+
+    outdir = str(tmp_path / "viz")
+    confusion_visualizer.main(["--config", str(cfg_path), "--model", best_p,
+                               "--outdir", outdir, "--max_renders", "1"])
+    import os
+
+    assert os.path.isdir(outdir) and os.listdir(outdir)
+
+
+def test_separate_train_and_ae_finetuner_real_data(tmp_path):
+    """separate_train's real branch (offline encode with a w1..wN encoder +
+    subject-file split) and ae_finetuner's real branch (iterVec split)."""
+    from ip_avsr_tpu.cli import ae_finetuner, separate_train
+
+    paths, lens, y, subjects = _make_corpus(tmp_path, dims=(24,))
+    enc_path = _save_encoder(tmp_path, 24, [16, 8])
+    (tmp_path / "train.txt").write_text("1,2,3,4\n")
+    (tmp_path / "val.txt").write_text("5\n")
+    (tmp_path / "test.txt").write_text("6\n")
+
+    res = separate_train.main([
+        "--data", paths[0], "--encoder", enc_path, "--shape", "16,8",
+        "--nonlinearities", "sigmoid,linear", "--lstm_units", "8",
+        "--output-classes", "4", "--num_epoch", "1", "--epochsize", "4",
+        "--batchsize", "6",
+        "--train_subjects_file", str(tmp_path / "train.txt"),
+        "--val_subjects_file", str(tmp_path / "val.txt"),
+        "--test_subjects_file", str(tmp_path / "test.txt")])
+    assert res.test_conf.sum() == int((subjects == 6).sum())
+
+    # ae_finetuner real branch needs iterVec in the .mat
+    rng = np.random.RandomState(0)
+    n = 9
+    l2 = np.full(n, 4)
+    matio.save_mat({"dataMatrix": rng.rand(int(l2.sum()), 24).astype(np.float32),
+                    "videoLengthVec": l2.reshape(-1, 1),
+                    "iterVec": np.tile([1, 2, 3], 3).reshape(-1, 1)},
+                   str(tmp_path / "ft.mat"))
+    # the finetuner needs an UNFOLDED autoencoder (reconstructs the input
+    # dim), not the encoder half: 24 -> 16 -> 8 -> 16 -> 24
+    ae_rng = np.random.RandomState(11)
+    ae_d, prev = {}, 24
+    for i, s in enumerate([16, 8, 16, 24], 1):
+        ae_d[f"w{i}"] = (0.1 * ae_rng.randn(prev, s)).astype(np.float64)
+        ae_d[f"b{i}"] = np.zeros((1, s))
+        prev = s
+    ae_path = str(tmp_path / "ae_unfolded.mat")
+    matio.save_mat(ae_d, ae_path)
+
+    out_p = str(tmp_path / "ft_out.mat")
+    ae_finetuner.main(["--ae", ae_path, "--layers", "4",
+                       "--activations", "sigmoid,linear,sigmoid,linear",
+                       "--data", str(tmp_path / "ft.mat"),
+                       "--out", out_p, "--epochs", "1", "--batchsize", "4"])
+    w, b = matio.load_dbn_mat(out_p, n_layers=4)
+    assert [x.shape for x in w] == [(24, 16), (16, 8), (8, 16), (16, 24)]
+    # the finetune step actually changed the weights
+    assert not np.allclose(w[0], ae_d["w1"])
