@@ -607,3 +607,29 @@ def test_nan_recovery_preserves_tensor_parallel_sharding():
     # IS the assertion), and the mesh really was 2-D
     assert dict(zip(trainer.mesh.axis_names, trainer.mesh.devices.shape)) == \
         {"data": 4, "model": 2}
+
+
+def test_bucket_truncation_warns_loudly_and_trains():
+    """Explicit bucket boundaries below the corpus max TRUNCATE training
+    frames — the 'no silent caps' warning must fire and the fit must still
+    produce finite results (val/test keep full length)."""
+    data = _tiny_data(n=14)
+    logs = []
+    opts = TrainOptions(num_epoch=1, epochsize=2, batchsize=4,
+                        bucket_boundaries=[3],  # below every max length
+                        log_fn=logs.append)
+    result = Trainer(_tiny_cfg(), opts).fit(data, data, data)
+    assert any("TRUNCATED" in line for line in logs), logs
+    assert np.isfinite(result.best_val)
+
+
+def test_device_data_fallback_warns_under_mesh():
+    """device_data + a mesh is unsupported; the trainer must SAY it falls
+    back to host-side batch assembly (round-2 silent-degradation fix)."""
+    data = _tiny_data(n=12)
+    logs = []
+    opts = TrainOptions(num_epoch=1, epochsize=2, batchsize=8, use_mesh=True,
+                        device_data=True, log_fn=logs.append)
+    result = Trainer(_tiny_cfg(), opts).fit(data, data, data)
+    assert any("falling back to host-side" in line for line in logs), logs
+    assert np.isfinite(result.best_val)
