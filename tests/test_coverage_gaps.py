@@ -452,15 +452,15 @@ def test_custom_vjp_grads_match_autodiff_with_bf16_matmuls(peephole):
 # ---------------------------------------------------------------------------
 
 def test_delta_should_use_pallas_gate_edges(monkeypatch):
-    from ip_avsr_tpu.ops.pallas import delta_kernel
+    from ip_avsr_tpu.ops.pallas import delta_kernel, dispatch
 
     good = jnp.zeros((8, 32, 128), jnp.float32)
-    # the gate is backend-independent given pallas is importable; force the
-    # availability check so the SHAPE rules are what's under test
-    monkeypatch.setattr(delta_kernel, "_available", lambda: True, raising=False)
-    if hasattr(delta_kernel, "pallas_available"):
-        monkeypatch.setattr(delta_kernel, "pallas_available", lambda: True)
+    # on the CPU test backend auto_dispatch_ok() is False and would
+    # short-circuit BEFORE the shape rules — force it True so the shape
+    # rules themselves are what's under test
+    monkeypatch.setattr(dispatch, "auto_dispatch_ok", lambda: True)
 
+    assert delta_kernel.should_use_pallas(good, 4) is True  # the happy path
     assert delta_kernel.should_use_pallas(good, 0) is False  # degenerate win
     assert delta_kernel.should_use_pallas(good, -1) is False
     assert delta_kernel.should_use_pallas(jnp.zeros((8, 32)), 4) is False
