@@ -548,12 +548,42 @@ def _to_numpy(tree):
     return jax.tree_util.tree_map(np.asarray, tree)
 
 
+def _probe_backend(timeout_s: float = 180.0):
+    """Fail FAST when the remote (axon) TPU tunnel is wedged.
+
+    Backend init blocks uninterruptibly inside the plugin, so a dead tunnel
+    turns the whole bench into an infinite hang (observed live in round 4:
+    even ``jax.devices()`` never returned).  Probe it on a daemon thread and
+    exit with a diagnostic instead — a missing bench line with a clear error
+    beats a silently hung driver process."""
+    import threading
+
+    result = {}
+
+    def probe():
+        import jax
+
+        result["devices"] = jax.devices()
+
+    t = threading.Thread(target=probe, daemon=True)
+    t.start()
+    t.join(timeout_s)
+    if "devices" not in result:
+        print(f"bench: backend init did not complete within {timeout_s:.0f}s "
+              "— the device tunnel appears down; aborting instead of hanging",
+              file=sys.stderr, flush=True)
+        os._exit(2)
+    return result["devices"]
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--quick", action="store_true", help="small sizes / few iters")
     ap.add_argument("--batch", type=int, default=0, help="override batch size")
     ap.add_argument("--refresh-baseline", action="store_true")
     args = ap.parse_args()
+
+    _probe_backend()
 
     if args.quick:
         batches = [args.batch or 512]
