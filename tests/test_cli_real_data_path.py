@@ -474,3 +474,20 @@ def test_separate_train_and_ae_finetuner_real_data(tmp_path):
     assert [x.shape for x in w] == [(24, 16), (16, 8), (8, 16), (16, 24)]
     # the finetune step actually changed the weights
     assert not np.allclose(w[0], ae_d["w1"])
+
+
+def test_pretrain_dbn_real_data_classifier(tmp_path):
+    """pretrain_dbn's --data branch (real .mat field load) with dbn_type=2
+    (classifier unfold): the exported w1..wN includes the softmax layer."""
+    from ip_avsr_tpu.cli import pretrain_dbn
+
+    rng = np.random.RandomState(0)
+    data = np.clip(rng.rand(60, 24), 0, 1).astype(np.float32)
+    matio.save_mat({"dataMatrix": data}, str(tmp_path / "d.mat"))
+    out_p = str(tmp_path / "clf.mat")
+    pretrain_dbn.main(["--data", str(tmp_path / "d.mat"),
+                       "--hidden", "12,6", "--activations", "sigm,sigm",
+                       "--dbn-type", "2", "--output-classes", "4",
+                       "--epochs", "1", "--batchsize", "16", "--out", out_p])
+    w, b = matio.load_dbn_mat(out_p, n_layers=3)
+    assert [x.shape for x in w] == [(24, 12), (12, 6), (6, 4)]
