@@ -287,3 +287,52 @@ def test_trimodal_server_validates_dct_norm_args():
     with pytest.raises(ValueError, match="together"):
         serve_mod.make_trimodal_server(params, cfg, (4, 6), dct_coeffs=8,
                                        dct_mean=np.zeros(8, np.float32))
+
+
+def test_pipelined_server_microbatch_matches_per_request():
+    """``batch`` > 1 stacks same-shaped requests into one dispatch; scores
+    must equal per-request serving, split back per request, in order —
+    including multi-row requests (row-count bookkeeping) and batch sizes
+    that don't divide the request count."""
+    cfg = zoo.lstm_classifier_majority_vote(10, lstm_size=8, output_classes=4)
+    params = adenet.init_adenet_params(jax.random.PRNGKey(0), cfg)
+    sync = serve.make_server(params, cfg)
+    rng = np.random.RandomState(1)
+    reqs = []
+    for i in range(11):
+        rows = 2 if i in (3, 4) else 1  # a couple of multi-row requests
+        x = rng.randn(rows, 6, 10).astype(np.float32)
+        mask = np.ones((rows, 6), np.float32)
+        mask[:, 4 + (i % 2):] = 0.0
+        reqs.append(([x], mask))
+    want = [np.asarray(sync([jnp.asarray(s) for s in st], jnp.asarray(m)))
+            for st, m in reqs]
+
+    for batch, depth in ((2, 3), (4, 1), (8, 16), (16, 2)):
+        pipe = serve.PipelinedServer(params, cfg, depth=depth, batch=batch)
+        got = list(pipe.map(iter(reqs)))
+        assert [g.shape for g in got] == [w.shape for w in want]
+        for g, w in zip(got, want):
+            np.testing.assert_allclose(g, w, rtol=1e-5, atol=1e-6)
+
+
+def test_pipelined_server_microbatch_mixed_shapes():
+    """A shape change mid-stream flushes the pending stack (only
+    identically-shaped requests may share a stacked dispatch) and the
+    per-step vote=False block flush still composes with micro-batching."""
+    cfg = zoo.lstm_classifier_majority_vote(6, lstm_size=6, output_classes=3)
+    params = adenet.init_adenet_params(jax.random.PRNGKey(0), cfg)
+    fn = serve.make_server(params, cfg, vote=False)
+    rng = np.random.RandomState(2)
+    reqs = []
+    for T in [7, 7, 9, 7, 9, 9, 5, 5, 5, 5]:
+        x = rng.randn(1, T, 6).astype(np.float32)
+        m = np.ones((1, T), np.float32)
+        m[0, T - 1:] = 0.0
+        reqs.append(([x], m))
+    pipe = serve.PipelinedServer(serve_fn=fn, depth=2, batch=3)
+    got = list(pipe.map(iter(reqs)))
+    assert len(got) == len(reqs)
+    for (streams, m), out in zip(reqs, got):
+        ref = np.asarray(fn(streams, m))
+        np.testing.assert_allclose(out, ref, rtol=1e-6, atol=1e-7)
