@@ -40,6 +40,10 @@ def main(argv=None):
                          "block-fetched results; amortizes the host-device "
                          "round trip over --depth requests)")
     ap.add_argument("--depth", type=int, default=8)
+    ap.add_argument("--batch", type=int, default=1,
+                    help="micro-batch up to K queued same-shaped requests "
+                         "into one upload+dispatch (amortizes the per-"
+                         "message h2d cost; see serve.PipelinedServer)")
     args = ap.parse_args(argv)
 
     cp = config_lib.load_config(args.config)
@@ -92,7 +96,7 @@ def main(argv=None):
 
         t_max = int(lens.max())
         pipe = serve_lib.PipelinedServer(params, cfg, vote=False,
-                                         depth=args.depth)
+                                         depth=args.depth, batch=args.batch)
 
         def requests():
             for i in range(n):

@@ -45,6 +45,12 @@ def test_nstream_train_save_extract_demo(tmp_path, capsys):
                 if "predicted" in l]
     assert preds(out_pipe) == preds(out)
 
+    # micro-batched uploads (--batch) must not change the predictions either
+    demo.main(["--config", "configs/synthetic_1stream.ini", "--model", str(best),
+               "--synthetic", "6", "--pipelined", "--depth", "2",
+               "--batch", "3"])
+    assert preds(capsys.readouterr().out) == preds(out)
+
 
 def test_pretrained_encoder_feeds_nstream(tmp_path):
     from ip_avsr_tpu.cli import pretrain_dbn
