@@ -134,7 +134,10 @@ def adenet_forward_sp(
     window = config.window if window is None else int(window)
     if T % n_seq != 0:
         raise ValueError(f"T={T} not divisible by seq axis {n_seq}")
-    if (T // n_seq) < window:
+    # the window only matters where a delta halo will actually be exchanged;
+    # a model with no delta streams has no halo, so any T_local works
+    # (over-strict rejection found by the TrainOptions interaction matrix)
+    if any(s.use_delta for s in config.streams) and (T // n_seq) < window:
         raise ValueError(f"T_local={T // n_seq} < window={window}")
     if B % (n_data * n_seq) != 0:
         raise ValueError(f"B={B} not divisible by data*seq={n_data * n_seq}")

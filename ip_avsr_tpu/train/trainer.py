@@ -926,7 +926,8 @@ class Trainer:
         max_t = int(np.asarray(seqlens).reshape(-1).max())
         padded = int(-(-max_t // sp) * sp)
         window = self.options.window or self.config.window
-        if padded // sp < window:
+        has_delta = any(s.use_delta for s in self.config.streams)
+        if has_delta and padded // sp < window:
             raise ValueError(
                 f"sequence_parallel={sp} leaves T_local={padded // sp} < "
                 f"window={window} (halo exchange needs T_local >= window); "

@@ -280,3 +280,25 @@ def test_trainer_sequence_parallel_fit():
     for a, b in zip(jax.tree_util.tree_leaves(outs[0][1]),
                     jax.tree_util.tree_leaves(outs[1][1])):
         np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-6)
+
+
+def test_sp_no_delta_model_ignores_window_constraint():
+    """A model with NO delta streams exchanges no halo, so T_local < window
+    must not be rejected (over-strict rejection found by the TrainOptions
+    interaction matrix, r4): the sp forward on a delta-free model with
+    T_local=2 < window=9 runs and matches the unsharded forward."""
+    from ip_avsr_tpu.models import zoo
+
+    cfg = zoo.lstm_classifier_majority_vote(12, lstm_size=8, output_classes=4)
+    assert not any(s.use_delta for s in cfg.streams)
+    assert cfg.window > 2
+    params = adenet.init_adenet_params(jax.random.PRNGKey(0), cfg)
+    mesh = _mesh(2, 4)
+    rng = np.random.RandomState(0)
+    B, T = 8, 8  # T_local = 2 < window = 9
+    x = jnp.asarray(rng.randn(B, T, 12), jnp.float32)
+    mask = jnp.ones((B, T), jnp.float32)
+    got = seq_lib.adenet_forward_sp(params, cfg, [x], mask, mesh)
+    want = adenet.adenet_forward(params, cfg, [x], mask, train=False)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-5, atol=1e-6)

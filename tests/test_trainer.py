@@ -450,3 +450,101 @@ def test_restore_train_state_missing_step_returns_none(tmp_path):
     from ip_avsr_tpu.train import checkpoints
 
     assert checkpoints.restore_train_state(str(tmp_path), step=99) is None
+
+
+def test_train_options_interaction_matrix():
+    """Randomized TrainOptions COMBINATIONS (hypothesis): the pairwise
+    feature tests can miss interaction bugs, so draw whole option vectors —
+    optimizer x mesh/mesh_mode x model/sequence parallel x bucketing x
+    grad accumulation x device_eval/device_data x nan handling — against
+    model families with/without encoders, peepholes, and batch norm.
+
+    Contract: a combination the docs declare invalid must raise ValueError;
+    every other combination must complete a 2-epoch fit with finite costs.
+    This also catches OVER-strict rejection of documented-valid combos."""
+    from hypothesis import given, settings, strategies as st
+
+    from ip_avsr_tpu.models.adenet import AdeNetConfig, StreamSpec
+
+    def bn_model():
+        return AdeNetConfig(
+            streams=[StreamSpec(input_dim=12, name="s1",
+                                encoder_shapes=(10, 6),
+                                encoder_nonlinearities=("sigmoid", "linear"),
+                                use_batchnorm=True, use_delta=False,
+                                use_lstm=False)],
+            output_classes=4, lstm_size=8, agg_layers=1,
+            agg_bidirectional=True, output_mode="per_step", w_init="glorot")
+
+    MODELS = {
+        "plain": lambda: zoo.lstm_classifier_majority_vote(
+            12, lstm_size=8, output_classes=4),
+        "peep_last": lambda: zoo.lstm_classifier_baseline(
+            12, lstm_size=8, output_classes=4, use_peepholes=True),
+        "encdelta": lambda: zoo.deltanet_majority_vote(
+            12, [10, 6], ["sigmoid", "linear"], lstm_size=8, window=3,
+            output_classes=4),
+        "bn": bn_model,
+    }
+
+    X, y, lens = make_synthetic(16)
+    data = (([X], y, lens),) * 3
+
+    import os
+
+    @settings(max_examples=int(os.environ.get("IPAVSR_COMBO_EXAMPLES", "10")),
+              deadline=None)
+    @given(model=st.sampled_from(sorted(MODELS)),
+           optimizer=st.sampled_from(["adam", "adadelta", "momentum",
+                                      "adam_vlr"]),
+           use_mesh=st.booleans(),
+           mesh_mode=st.sampled_from(["gspmd", "shard_map"]),
+           mp=st.sampled_from([1, 2]),
+           sp=st.sampled_from([1, 2]),
+           buckets=st.sampled_from([None, "auto"]),
+           grad_accum=st.sampled_from([1, 2]),
+           device_eval=st.booleans(),
+           device_data=st.booleans(),
+           check_nans=st.booleans(),
+           recover=st.booleans())
+    def run(model, optimizer, use_mesh, mesh_mode, mp, sp, buckets,
+            grad_accum, device_eval, device_data, check_nans, recover):
+        cfg = MODELS[model]()
+        has_bn = any(s.use_batchnorm for s in cfg.streams)
+        invalid = (
+            (mp > 1 and sp > 1)
+            or (mp > 1 and mesh_mode == "shard_map")
+            or (sp > 1 and mesh_mode == "shard_map")
+            or (sp > 1 and buckets is not None)
+            or (grad_accum > 1 and (has_bn or mesh_mode == "shard_map"))
+        )
+        opts = TrainOptions(
+            num_epoch=2, epochsize=2, batchsize=8, learning_rate=0.01,
+            validation_window=50, seed=0, log_fn=lambda s: None,
+            optimizer=optimizer,
+            lr_map_config={"output": 0.02} if optimizer == "adam_vlr" else None,
+            use_mesh=use_mesh, mesh_mode=mesh_mode, model_parallel=mp,
+            sequence_parallel=sp, bucket_boundaries=buckets,
+            grad_accum_steps=grad_accum, device_eval=device_eval,
+            device_data=device_data, check_nans=check_nans,
+            recover_on_nan=recover)
+        try:
+            result = Trainer(cfg, opts).fit(*data)
+        except ValueError:
+            assert invalid, (
+                f"documented-VALID combination raised ValueError: "
+                f"model={model} optimizer={optimizer} use_mesh={use_mesh} "
+                f"mesh_mode={mesh_mode} mp={mp} sp={sp} buckets={buckets} "
+                f"grad_accum={grad_accum} device_eval={device_eval} "
+                f"device_data={device_data}")
+            return
+        assert not invalid, (
+            f"documented-INVALID combination was accepted: mp={mp} sp={sp} "
+            f"mesh_mode={mesh_mode} buckets={buckets} grad_accum={grad_accum} "
+            f"model={model}")
+        assert result.epochs_run >= 1
+        assert np.isfinite(result.cost_train).all(), result.cost_train
+        assert np.isfinite(result.cost_val).all(), result.cost_val
+        assert 0.0 <= result.test_cr <= 1.0
+
+    run()
