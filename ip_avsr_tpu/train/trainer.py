@@ -213,6 +213,20 @@ class Trainer:
                 raise ValueError(
                     f"grad_accum_steps={options.grad_accum_steps} must divide "
                     f"batchsize={options.batchsize}")
+        if options.sequence_parallel > 1:
+            # The sp forward shards the batch over data*seq devices
+            # (parallel/sequence.py adenet_forward_sp); surface the
+            # divisibility requirement here, per micro-batch, instead of as
+            # an opaque shape error mid-fit.
+            n_shards = len(jax.devices())
+            micro = options.batchsize // options.grad_accum_steps
+            if micro % n_shards != 0:
+                what = ("micro-batch batchsize/grad_accum_steps"
+                        if options.grad_accum_steps > 1 else "batchsize")
+                raise ValueError(
+                    f"sequence_parallel shards each step over all "
+                    f"{n_shards} devices (data*seq); {what}={micro} "
+                    f"must be divisible by {n_shards}")
         if self.optimizer is not None:
             self._build_steps()
 

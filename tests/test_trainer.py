@@ -1,5 +1,6 @@
 """Trainer: end-to-end training on tiny synthetic data (CPU)."""
 
+import jax
 import numpy as np
 import pytest
 
@@ -461,7 +462,14 @@ def test_train_options_interaction_matrix():
 
     Contract: a combination the docs declare invalid must raise ValueError;
     every other combination must complete a 2-epoch fit with finite costs.
-    This also catches OVER-strict rejection of documented-valid combos."""
+    This also catches OVER-strict rejection of documented-valid combos
+    (first catch: the sp window check rejected delta-free models).
+
+    Config-level training knobs (lstm_remat, lstm_residual_dtype,
+    fuse_scans, matmul_dtype, agg_dropout) are drawn too — they interact
+    with the option axes (e.g. remat x grad_accum x shard_map) and are all
+    valid everywhere under the Trainer (fuse_scans merely warns and yields
+    when a residual lever is set)."""
     from hypothesis import given, settings, strategies as st
 
     from ip_avsr_tpu.models.adenet import AdeNetConfig, StreamSpec
@@ -506,10 +514,21 @@ def test_train_options_interaction_matrix():
            device_eval=st.booleans(),
            device_data=st.booleans(),
            check_nans=st.booleans(),
-           recover=st.booleans())
+           recover=st.booleans(),
+           remat=st.booleans(),
+           residual_dtype=st.sampled_from([None, "bfloat16"]),
+           fuse=st.booleans(),
+           mmdtype=st.sampled_from([None, "bfloat16"]),
+           dropout=st.sampled_from([0.0, 0.2]))
     def run(model, optimizer, use_mesh, mesh_mode, mp, sp, buckets,
-            grad_accum, device_eval, device_data, check_nans, recover):
-        cfg = MODELS[model]()
+            grad_accum, device_eval, device_data, check_nans, recover,
+            remat, residual_dtype, fuse, mmdtype, dropout):
+        import dataclasses
+
+        cfg = dataclasses.replace(
+            MODELS[model](), lstm_remat=remat,
+            lstm_residual_dtype=residual_dtype, fuse_scans=fuse,
+            matmul_dtype=mmdtype, agg_dropout=dropout)
         has_bn = any(s.use_batchnorm for s in cfg.streams)
         invalid = (
             (mp > 1 and sp > 1)
@@ -517,6 +536,11 @@ def test_train_options_interaction_matrix():
             or (sp > 1 and mesh_mode == "shard_map")
             or (sp > 1 and buckets is not None)
             or (grad_accum > 1 and (has_bn or mesh_mode == "shard_map"))
+            # sp shards every (micro-)batch over ALL devices (data*seq), so
+            # batchsize/grad_accum must be divisible by the device count
+            # (first caught here as an opaque mid-fit shape error; now a
+            # Trainer.__init__ ValueError)
+            or (sp > 1 and (8 // grad_accum) % jax.device_count() != 0)
         )
         opts = TrainOptions(
             num_epoch=2, epochsize=2, batchsize=8, learning_rate=0.01,
