@@ -213,20 +213,6 @@ class Trainer:
                 raise ValueError(
                     f"grad_accum_steps={options.grad_accum_steps} must divide "
                     f"batchsize={options.batchsize}")
-        if options.sequence_parallel > 1:
-            # The sp forward shards the batch over data*seq devices
-            # (parallel/sequence.py adenet_forward_sp); surface the
-            # divisibility requirement here, per micro-batch, instead of as
-            # an opaque shape error mid-fit.
-            n_shards = len(jax.devices())
-            micro = options.batchsize // options.grad_accum_steps
-            if micro % n_shards != 0:
-                what = ("micro-batch batchsize/grad_accum_steps"
-                        if options.grad_accum_steps > 1 else "batchsize")
-                raise ValueError(
-                    f"sequence_parallel shards each step over all "
-                    f"{n_shards} devices (data*seq); {what}={micro} "
-                    f"must be divisible by {n_shards}")
         if self.optimizer is not None:
             self._build_steps()
 
@@ -976,8 +962,15 @@ class Trainer:
         bucket instead of one for the global max T."""
         pad_to = batchsize
         if self.mesh is not None:
+            # each batch must shard evenly over the mesh — and under gradient
+            # accumulation each of the K MICROBATCHES must (train_step_accum
+            # reshapes B into (K, B/K); the sp forward additionally requires
+            # every microbatch divisible by data*seq), so round up to a
+            # multiple of K * n_dev (found by the TrainOptions interaction
+            # matrix: sp=2 x grad_accum=2 at batchsize=8 on 8 devices)
             n_dev = self.mesh.devices.size
-            pad_to = int(-(-batchsize // n_dev) * n_dev)
+            unit = n_dev * self.options.grad_accum_steps
+            pad_to = int(-(-batchsize // unit) * unit)
         if isinstance(ds, BucketedDataset):
             while True:
                 for _, streams, y, mask, _ in ds.epoch_batches(

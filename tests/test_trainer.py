@@ -453,6 +453,27 @@ def test_restore_train_state_missing_step_returns_none(tmp_path):
     assert checkpoints.restore_train_state(str(tmp_path), step=99) is None
 
 
+def test_grad_accum_composes_with_sequence_parallel():
+    """sp x grad_accum (interaction-matrix catch): the sp forward requires
+    every MICRObatch divisible by data*seq, so _infinite_batches must pad
+    batches to a multiple of K * n_dev — a batchsize that isn't (10 here,
+    and 8 = the device count exactly, whose K=2 micros are 4-row) used to
+    die mid-fit with an opaque 'B not divisible by data*seq' error."""
+    if len(jax.devices()) != 8:
+        pytest.skip("needs the 8-device virtual mesh")
+    cfg = zoo.lstm_classifier_majority_vote(12, lstm_size=8, output_classes=4)
+    X, y, lens = make_synthetic(20)
+    data = (([X], y, lens),) * 3
+    for bs in (8, 10):
+        opts = TrainOptions(num_epoch=2, epochsize=2, batchsize=bs,
+                            learning_rate=0.01, validation_window=50, seed=0,
+                            log_fn=lambda s: None, sequence_parallel=2,
+                            grad_accum_steps=2)
+        result = Trainer(cfg, opts).fit(*data)
+        assert np.isfinite(result.cost_train).all()
+        assert np.isfinite(result.cost_val).all()
+
+
 def test_train_options_interaction_matrix():
     """Randomized TrainOptions COMBINATIONS (hypothesis): the pairwise
     feature tests can miss interaction bugs, so draw whole option vectors —
@@ -463,7 +484,8 @@ def test_train_options_interaction_matrix():
     Contract: a combination the docs declare invalid must raise ValueError;
     every other combination must complete a 2-epoch fit with finite costs.
     This also catches OVER-strict rejection of documented-valid combos
-    (first catch: the sp window check rejected delta-free models).
+    (catches so far: the sp window check rejected delta-free models; sp x
+    grad_accum microbatches violated the data*seq divisibility mid-fit).
 
     Config-level training knobs (lstm_remat, lstm_residual_dtype,
     fuse_scans, matmul_dtype, agg_dropout) are drawn too — they interact
@@ -536,11 +558,6 @@ def test_train_options_interaction_matrix():
             or (sp > 1 and mesh_mode == "shard_map")
             or (sp > 1 and buckets is not None)
             or (grad_accum > 1 and (has_bn or mesh_mode == "shard_map"))
-            # sp shards every (micro-)batch over ALL devices (data*seq), so
-            # batchsize/grad_accum must be divisible by the device count
-            # (first caught here as an opaque mid-fit shape error; now a
-            # Trainer.__init__ ValueError)
-            or (sp > 1 and (8 // grad_accum) % jax.device_count() != 0)
         )
         opts = TrainOptions(
             num_epoch=2, epochsize=2, batchsize=8, learning_rate=0.01,
