@@ -44,6 +44,11 @@ def main(argv=None):
                     help="micro-batch up to K queued same-shaped requests "
                          "into one upload+dispatch (amortizes the per-"
                          "message h2d cost; see serve.PipelinedServer)")
+    ap.add_argument("--artifact", default=None,
+                    help="serve from an exported .ipax artifact "
+                         "(cli.export_model) instead of rebuilding the "
+                         "model — --model is ignored; the artifact's baked "
+                         "weights and traced program do the serving")
     args = ap.parse_args(argv)
 
     cp = config_lib.load_config(args.config)
@@ -60,6 +65,15 @@ def main(argv=None):
     else:
         print("no --model given: using random init (smoke mode)")
         params = adenet.init_adenet_params(jax.random.PRNGKey(0), cfg)
+
+    artifact = None
+    if args.artifact:
+        from ip_avsr_tpu import export as export_lib
+
+        artifact = export_lib.load_server(args.artifact)
+        if artifact.input_kind != "streams":
+            raise SystemExit("demo serves preprocessed streams; the "
+                             "artifact was exported for raw pixels")
 
     predict = jax.jit(lambda p, streams, mask: adenet.adenet_forward(
         p, cfg, streams, mask, train=False))
@@ -95,8 +109,9 @@ def main(argv=None):
         from ip_avsr_tpu import serve as serve_lib
 
         t_max = int(lens.max())
-        pipe = serve_lib.PipelinedServer(params, cfg, vote=False,
-                                         depth=args.depth, batch=args.batch)
+        pipe = serve_lib.PipelinedServer(
+            params, cfg, vote=False, depth=args.depth, batch=args.batch,
+            serve_fn=artifact)
 
         def requests():
             for i in range(n):
@@ -123,7 +138,10 @@ def main(argv=None):
             streams = [jnp.asarray(d["dataMatrix"][offsets[i]:offsets[i] + T][None, ...])
                        for d in data]
             mask = jnp.ones((1, T), jnp.float32)
-            probs = np.asarray(predict(params, streams, mask))
+            if artifact is not None:
+                probs = np.asarray(artifact(streams, mask))
+            else:
+                probs = np.asarray(predict(params, streams, mask))
             if probs.ndim == 3:
                 pred = int(masked_majority_vote(probs, np.ones((1, T)))[0])
             else:

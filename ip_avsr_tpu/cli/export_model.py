@@ -1,0 +1,99 @@
+"""Export a trained model as a self-contained serving artifact (.ipax).
+
+The reference's deployment story is a pickled weight dict that demo.py
+re-wires into a rebuilt Theano graph (oulu/demo.py:274-447) — serving
+needs the whole training source tree.  This exports the traced serving
+program itself (jax.export / StableHLO, weights baked in): the serving
+host needs jax and the artifact only.  By default both batch and time
+axes are symbolic, so ONE artifact serves any request size on cpu or tpu;
+``--batch/--time`` pin shapes (keeping the tuned Pallas kernels for the
+native platform).
+
+Examples:
+    python -m ip_avsr_tpu.cli.export_model --config configs/oulu_2stream.ini \
+        --model best.pkl --out model.ipax --check
+    python -m ip_avsr_tpu.cli.demo --config ... --artifact model.ipax
+"""
+
+from __future__ import annotations
+
+import argparse
+
+import jax
+import numpy as np
+
+from ip_avsr_tpu import export as export_lib
+from ip_avsr_tpu.io import matio
+from ip_avsr_tpu.models import adenet
+from ip_avsr_tpu.train import config as config_lib
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(description=__doc__.splitlines()[0])
+    ap.add_argument("--config", required=True, help="model INI (same schema "
+                    "as nstream/demo)")
+    ap.add_argument("--model", help="trained weights pickle "
+                    "(extract_weights/demo format); random init if omitted")
+    ap.add_argument("--out", required=True, help="artifact path (.ipax)")
+    ap.add_argument("--per_step", action="store_true",
+                    help="export per-step (B, T, C) scores instead of the "
+                         "voted (B, C) head")
+    ap.add_argument("--batch", type=int, default=None,
+                    help="pin the batch axis (default: symbolic — any size)")
+    ap.add_argument("--time", type=int, default=None,
+                    help="pin the time axis (default: symbolic — any length)")
+    ap.add_argument("--platforms", default=None,
+                    help="comma-separated lowering platforms (default: "
+                         "cpu,tpu when symbolic, native when pinned)")
+    ap.add_argument("--classnames", default=None,
+                    help="comma-separated class labels stored in meta.json")
+    ap.add_argument("--check", action="store_true",
+                    help="reload the artifact and verify its scores match "
+                         "the live server on random inputs")
+    args = ap.parse_args(argv)
+
+    cp = config_lib.load_config(args.config)
+    stream_cfgs = config_lib.parse_streams(cp)
+    clf = config_lib.parse_classifier(cp)
+    # the SAME builder nstream trains with (see demo.py's drift note)
+    cfg = config_lib.build_model_config(stream_cfgs, clf)
+
+    if args.model:
+        params = matio.load_model_params(args.model)
+    else:
+        print("no --model given: exporting a random init (smoke mode)")
+        params = adenet.init_adenet_params(jax.random.PRNGKey(0), cfg)
+
+    labels = (args.classnames.split(",") if args.classnames
+              else clf.output_classnames or None)
+    platforms = args.platforms.split(",") if args.platforms else None
+
+    export_lib.save_artifact(
+        args.out, params, cfg, vote=not args.per_step,
+        batch=args.batch, time=args.time, platforms=platforms, labels=labels)
+    import os
+
+    print(f"wrote {args.out} ({os.path.getsize(args.out)} bytes, "
+          f"batch={'any' if args.batch is None else args.batch}, "
+          f"time={'any' if args.time is None else args.time})")
+
+    if args.check:
+        from ip_avsr_tpu.serve import make_server
+
+        srv = export_lib.load_server(args.out)
+        live = make_server(params, cfg, vote=not args.per_step)
+        rng = np.random.RandomState(0)
+        B = args.batch or 3
+        T = args.time or max(cfg.window, 8)
+        streams = [rng.randn(B, T, s.input_dim).astype(np.float32)
+                   for s in cfg.streams]
+        mask = np.ones((B, T), np.float32)
+        got = np.asarray(srv(streams, mask))
+        want = np.asarray(live(streams, mask))
+        np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+        print(f"check OK: artifact matches the live server "
+              f"(max |diff| {np.abs(got - want).max():.2e})")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,241 @@
+"""Deployment export: one self-contained artifact for the serve program.
+
+The reference deploys a model by shipping a pickled weight dict that
+``demo.py`` re-wires into a freshly-built Theano graph at load time
+(``oulu/demo.py:274-447`` rebuilds the network, then copies weights in) —
+serving requires the full model-building source tree.  A TPU production
+deployment wants the opposite: serialize the TRACED serving program itself
+(StableHLO via :mod:`jax.export`, weights baked in as constants) so the
+serving host needs jax and the artifact, nothing else — no model zoo, no
+config parsing, no version skew between training and serving code.
+
+Two export shapes:
+
+- **Polymorphic** (default): the batch and time axes are exported as
+  symbolic dimensions, so ONE artifact serves any request size.  Pallas
+  auto-dispatch is disabled for the trace (the kernel heuristics need
+  concrete shapes), leaving pure StableHLO — which is also what makes the
+  artifact multi-platform (``platforms=("cpu", "tpu")`` by default: the
+  same file runs on a dev laptop and the serving chip).
+- **Fixed-shape**: concrete (B, T), native platform only.  The trace keeps
+  whatever Pallas kernels the heuristics select (they serialize as
+  ``tpu_custom_call``), preserving the tuned single-chip serve path.
+
+The artifact is a zip (conventionally ``.ipax``) with ``meta.json``
+(format tag, model config as JSON, entry descriptors, jax version) and one
+serialized :class:`jax.export.Exported` blob per entry.  :func:`load_server`
+returns a callable ``(streams, mask) -> scores``; it is a thin wrapper over
+``jax.export.deserialize(blob).call`` — an artifact remains loadable with
+plain jax even without this package.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import dataclasses
+import json
+import zipfile
+from typing import Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+
+from ip_avsr_tpu.models import adenet
+
+_FORMAT = "ipavsr-export/1"
+_VOTE_DIM = object()  # sentinel: entry output is (B, C) voted scores
+
+
+def config_to_dict(config: adenet.AdeNetConfig) -> dict:
+    """JSON-able dict of an :class:`AdeNetConfig` (tuples become lists)."""
+    return dataclasses.asdict(config)
+
+
+def config_from_dict(d: dict) -> adenet.AdeNetConfig:
+    streams = [adenet.StreamSpec(**{**s, "encoder_shapes":
+                                    tuple(s["encoder_shapes"]) if s.get("encoder_shapes") else None,
+                                    "encoder_nonlinearities":
+                                    tuple(s["encoder_nonlinearities"]) if s.get("encoder_nonlinearities") else None})
+               for s in d["streams"]]
+    rest = {k: v for k, v in d.items() if k != "streams"}
+    if rest.get("agg_sizes") is not None:
+        rest["agg_sizes"] = tuple(rest["agg_sizes"])
+    return adenet.AdeNetConfig(streams=streams, **rest)
+
+
+def _input_specs(config: adenet.AdeNetConfig, batch, time):
+    """ShapeDtypeStructs for ``make_server``'s (streams, mask) signature."""
+    streams = [jax.ShapeDtypeStruct((batch, time, s.input_dim), jnp.float32)
+               for s in config.streams]
+    mask = jax.ShapeDtypeStruct((batch, time), jnp.float32)
+    return streams, mask
+
+
+def export_server(
+    params: dict,
+    config: adenet.AdeNetConfig,
+    *,
+    vote: bool = True,
+    batch: Optional[int] = None,
+    time: Optional[int] = None,
+    platforms: Optional[Sequence[str]] = None,
+    min_time: Optional[int] = None,
+    trimodal: Optional[dict] = None,
+) -> bytes:
+    """Serialize the generic preprocessed-streams server to one blob.
+
+    ``batch``/``time`` = None exports that axis symbolically (any size at
+    call time); integers pin it.  Symbolic axes disable Pallas
+    auto-dispatch for the trace (concrete-shape heuristics) and default
+    ``platforms`` to ("cpu", "tpu"); fully pinned shapes keep the tuned
+    kernels and default to the native platform.  ``min_time`` adds a
+    ``t >= min_time`` constraint (models whose delta window needs frames;
+    defaults to the model window when time is symbolic).
+
+    ``trimodal`` (a kwargs dict for
+    :func:`ip_avsr_tpu.serve.make_trimodal_server`: ``image_shape``,
+    optional ``dct_coeffs``/``dct_mean``/``dct_std``) exports the
+    raw-pixel server instead — input is one (B, T, H*W) pixel array; the
+    diff/DCT/normalization prep is inside the exported program (the
+    transport-optimal serve path; normalization stats serialize as baked
+    constants).
+    """
+    from ip_avsr_tpu.ops.pallas import dispatch
+    from ip_avsr_tpu.serve import make_server, make_trimodal_server
+
+    if trimodal is not None:
+        serve = make_trimodal_server(params, config, vote=vote, **trimodal)
+    else:
+        serve = make_server(params, config, vote=vote)
+    symbolic = batch is None or time is None
+    if platforms is None:
+        platforms = ("cpu", "tpu") if symbolic else None
+
+    dims, constraints = [], []
+    if batch is None:
+        dims.append("b")
+    if time is None:
+        dims.append("t")
+        floor = min_time if min_time is not None else max(config.window, 1)
+        constraints.append(f"t >= {int(floor)}")
+    if dims:
+        syms = dict(zip(dims, jax.export.symbolic_shape(
+            ", ".join(dims), constraints=constraints)))
+    b = syms["b"] if batch is None else int(batch)
+    t = syms["t"] if time is None else int(time)
+
+    if trimodal is not None:
+        hw = int(trimodal["image_shape"][0]) * int(trimodal["image_shape"][1])
+        specs = (jax.ShapeDtypeStruct((b, t, hw), jnp.float32),
+                 jax.ShapeDtypeStruct((b, t), jnp.float32))
+    else:
+        specs = _input_specs(config, b, t)
+    ctx = dispatch.disabled() if symbolic else contextlib.nullcontext()
+    with ctx:
+        exported = jax.export.export(
+            jax.jit(serve),
+            platforms=tuple(platforms) if platforms else None)(*specs)
+    return exported.serialize()
+
+
+def save_artifact(
+    path: str,
+    params: dict,
+    config: adenet.AdeNetConfig,
+    *,
+    vote: bool = True,
+    batch: Optional[int] = None,
+    time: Optional[int] = None,
+    platforms: Optional[Sequence[str]] = None,
+    labels: Optional[Sequence[str]] = None,
+    trimodal: Optional[dict] = None,
+) -> None:
+    """Export the serve program and write the ``.ipax`` zip artifact.
+
+    ``labels`` (optional class names) ride along in meta.json so a serving
+    host can map argmax indices to names without the training config.
+    """
+    blob = export_server(params, config, vote=vote, batch=batch, time=time,
+                         platforms=platforms, trimodal=trimodal)
+    symbolic = batch is None or time is None
+    if trimodal is not None:
+        hw = int(trimodal["image_shape"][0]) * int(trimodal["image_shape"][1])
+        input_kind, stream_dims = "raw", [hw]
+    else:
+        input_kind = "streams"
+        stream_dims = [s.input_dim for s in config.streams]
+    meta = {
+        "format": _FORMAT,
+        "jax_version": jax.__version__,
+        "config": config_to_dict(config),
+        "labels": list(labels) if labels is not None else None,
+        "entries": [{
+            "name": "serve",
+            "blob": "entries/serve.jaxexport",
+            "vote": bool(vote),
+            "input": input_kind,
+            "batch": batch,
+            "time": time,
+            "platforms": (list(platforms) if platforms
+                          else (["cpu", "tpu"] if symbolic else None)),
+            "stream_dims": stream_dims,
+            "output_classes": config.output_classes,
+        }],
+    }
+    with zipfile.ZipFile(path, "w", zipfile.ZIP_DEFLATED) as z:
+        z.writestr("meta.json", json.dumps(meta, indent=1))
+        z.writestr("entries/serve.jaxexport", blob)
+
+
+class ExportedServer:
+    """A loaded artifact: ``server(streams, mask) -> scores``.
+
+    ``streams`` is a list of (B, T, D_i) float arrays, ``mask`` (B, T)
+    {0,1} float.  Fixed-shape entries require exactly the exported (B, T);
+    symbolic entries accept any size satisfying the export constraints.
+    """
+
+    def __init__(self, meta: dict, exported):
+        self.meta = meta
+        entry = meta["entries"][0]
+        self.vote = entry["vote"]
+        self.input_kind = entry.get("input", "streams")
+        self.batch = entry["batch"]
+        self.time = entry["time"]
+        self.stream_dims = entry["stream_dims"]
+        self.output_classes = entry["output_classes"]
+        self.labels = meta.get("labels")
+        self._exported = exported
+
+    @property
+    def config(self) -> adenet.AdeNetConfig:
+        return config_from_dict(self.meta["config"])
+
+    def __call__(self, streams, mask):
+        mask = jnp.asarray(mask, jnp.float32)
+        if self.input_kind == "raw":
+            raw = jnp.asarray(streams, jnp.float32)
+            if raw.shape[-1] != self.stream_dims[0]:
+                raise ValueError(f"raw pixel dim {raw.shape[-1]} != "
+                                 f"exported {self.stream_dims[0]}")
+            return self._exported.call(raw, mask)
+        if len(streams) != len(self.stream_dims):
+            raise ValueError(f"artifact expects {len(self.stream_dims)} "
+                             f"streams, got {len(streams)}")
+        streams = [jnp.asarray(s, jnp.float32) for s in streams]
+        for s, d in zip(streams, self.stream_dims):
+            if s.shape[-1] != d:
+                raise ValueError(f"stream dim {s.shape[-1]} != exported {d}")
+        return self._exported.call(streams, mask)
+
+
+def load_server(path: str) -> ExportedServer:
+    """Load a ``.ipax`` artifact written by :func:`save_artifact`."""
+    with zipfile.ZipFile(path) as z:
+        meta = json.loads(z.read("meta.json").decode("utf-8"))
+        if meta.get("format") != _FORMAT:
+            raise ValueError(f"not an ipavsr export artifact: "
+                             f"format={meta.get('format')!r}")
+        entry = meta["entries"][0]
+        exported = jax.export.deserialize(z.read(entry["blob"]))
+    return ExportedServer(meta, exported)

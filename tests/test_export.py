@@ -1,0 +1,180 @@
+"""Deployment export (ip_avsr_tpu.export): serialized serve programs.
+
+The artifact must reproduce the live server bit-for-bit (same platform),
+carry its metadata (config, labels), validate its inputs, and plug into
+the demo CLI and PipelinedServer without the model-building code path.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+
+from ip_avsr_tpu import export as export_lib
+from ip_avsr_tpu import serve as serve_mod
+from ip_avsr_tpu.models import adenet, zoo
+
+
+def _deltanet():
+    cfg = zoo.deltanet_majority_vote(12, [10, 6], ["sigmoid", "linear"],
+                                     lstm_size=8, window=3, output_classes=4)
+    params = adenet.init_adenet_params(jax.random.PRNGKey(0), cfg)
+    return cfg, params
+
+
+def test_symbolic_artifact_matches_live_server(tmp_path):
+    """One artifact with symbolic (batch, time) serves any request size and
+    matches make_server exactly on the same platform."""
+    cfg, params = _deltanet()
+    path = tmp_path / "m.ipax"
+    export_lib.save_artifact(str(path), params, cfg, labels=list("ABCD"))
+    srv = export_lib.load_server(str(path))
+    live = serve_mod.make_server(params, cfg)
+
+    rng = np.random.RandomState(0)
+    for B, T in ((1, 7), (5, 29), (3, 3)):
+        x = rng.randn(B, T, 12).astype(np.float32)
+        mask = (np.arange(T)[None] < rng.randint(1, T + 1, (B, 1))).astype(
+            np.float32)
+        np.testing.assert_allclose(np.asarray(srv([x], mask)),
+                                   np.asarray(live([x], mask)),
+                                   rtol=1e-6, atol=1e-7)
+    assert srv.labels == list("ABCD")
+    assert srv.config == cfg  # config round-trips through meta.json
+    assert srv.output_classes == 4
+
+
+def test_symbolic_time_floor_is_the_delta_window(tmp_path):
+    """The default t >= window constraint rejects too-short requests at
+    call time instead of producing garbage deltas."""
+    cfg, params = _deltanet()
+    path = tmp_path / "m.ipax"
+    export_lib.save_artifact(str(path), params, cfg)
+    srv = export_lib.load_server(str(path))
+    x = np.zeros((1, 2, 12), np.float32)  # T=2 < window=3
+    with pytest.raises(Exception):
+        srv([x], np.ones((1, 2), np.float32))
+
+
+def test_fixed_shape_artifact(tmp_path):
+    cfg, params = _deltanet()
+    path = tmp_path / "mf.ipax"
+    export_lib.save_artifact(str(path), params, cfg, batch=4, time=16)
+    srv = export_lib.load_server(str(path))
+    live = serve_mod.make_server(params, cfg)
+    rng = np.random.RandomState(1)
+    x = rng.randn(4, 16, 12).astype(np.float32)
+    m = np.ones((4, 16), np.float32)
+    np.testing.assert_allclose(np.asarray(srv([x], m)),
+                               np.asarray(live([x], m)),
+                               rtol=1e-6, atol=1e-7)
+    assert srv.batch == 4 and srv.time == 16
+
+
+def test_trimodal_raw_artifact(tmp_path):
+    """Raw-pixel export: diff/DCT/norm prep is inside the artifact."""
+    ENC = (("sigmoid", "sigmoid", "linear"), (16, 12, 6))
+    cfg = zoo.adenet_v3(24, 8, 24, lstm_size=6, window=3, output_classes=5)
+    streams = []
+    for s in cfg.streams:
+        kw = {**s.__dict__, "dropout": 0.0}
+        if s.encoder_shapes:
+            kw.update(encoder_shapes=ENC[1], encoder_nonlinearities=ENC[0])
+        streams.append(adenet.StreamSpec(**kw))
+    cfg = adenet.AdeNetConfig(**{**cfg.__dict__, "streams": streams,
+                                 "agg_dropout": 0.0})
+    params = adenet.init_adenet_params(jax.random.PRNGKey(0), cfg)
+    tri = dict(image_shape=(4, 6), dct_coeffs=8)
+
+    path = tmp_path / "tri.ipax"
+    export_lib.save_artifact(str(path), params, cfg, trimodal=tri)
+    srv = export_lib.load_server(str(path))
+    assert srv.input_kind == "raw"
+    live = serve_mod.make_trimodal_server(params, cfg, **tri)
+    rng = np.random.RandomState(0)
+    for B, T in ((3, 7), (1, 12)):
+        raw = rng.randn(B, T, 24).astype(np.float32)
+        m = np.ones((B, T), np.float32)
+        np.testing.assert_allclose(np.asarray(srv(raw, m)),
+                                   np.asarray(live(raw, m)),
+                                   rtol=1e-6, atol=1e-7)
+
+
+def test_artifact_input_validation(tmp_path):
+    cfg, params = _deltanet()
+    path = tmp_path / "m.ipax"
+    export_lib.save_artifact(str(path), params, cfg)
+    srv = export_lib.load_server(str(path))
+    m = np.ones((1, 8), np.float32)
+    with pytest.raises(ValueError, match="streams"):
+        srv([np.zeros((1, 8, 12), np.float32)] * 2, m)
+    with pytest.raises(ValueError, match="stream dim"):
+        srv([np.zeros((1, 8, 13), np.float32)], m)
+
+
+def test_load_rejects_non_artifact(tmp_path):
+    import zipfile
+
+    bogus = tmp_path / "b.ipax"
+    with zipfile.ZipFile(bogus, "w") as z:
+        z.writestr("meta.json", "{\"format\": \"something-else\"}")
+    with pytest.raises(ValueError, match="format"):
+        export_lib.load_server(str(bogus))
+
+
+def test_pipelined_server_accepts_artifact(tmp_path):
+    """An ExportedServer plugs into PipelinedServer.serve_fn; pipelined
+    scores equal direct artifact calls, in order."""
+    cfg, params = _deltanet()
+    path = tmp_path / "m.ipax"
+    export_lib.save_artifact(str(path), params, cfg)
+    srv = export_lib.load_server(str(path))
+
+    pipe = serve_mod.PipelinedServer(serve_fn=srv, depth=3)
+    rng = np.random.RandomState(0)
+    T = 9
+    reqs = []
+    for _ in range(7):
+        x = rng.randn(1, T, 12).astype(np.float32)
+        reqs.append(([x], np.ones((1, T), np.float32)))
+    got = list(pipe.map(iter(reqs)))
+    for g, (s, m) in zip(got, reqs):
+        np.testing.assert_allclose(np.asarray(g), np.asarray(srv(s, m)),
+                                   rtol=1e-6, atol=1e-7)
+
+
+def test_export_model_cli_and_demo_artifact(tmp_path, capsys):
+    """Full deployment chain: train (nstream) -> export_model --check ->
+    demo --artifact reproduces the live demo's per-utterance predictions,
+    in both sync and pipelined modes."""
+    from ip_avsr_tpu.cli import demo, export_model, nstream
+
+    best = tmp_path / "best.pkl"
+    nstream.main(["--config", "configs/synthetic_1stream.ini",
+                  "--synthetic", "24", "--num_epoch", "1",
+                  "--save_best", str(best)])
+    capsys.readouterr()
+
+    art = tmp_path / "model.ipax"
+    export_model.main(["--config", "configs/synthetic_1stream.ini",
+                       "--model", str(best), "--out", str(art), "--check"])
+    out = capsys.readouterr().out
+    assert "check OK" in out
+
+    def preds(text):
+        return [l.split("predicted")[1] for l in text.splitlines()
+                if "predicted" in l]
+
+    demo.main(["--config", "configs/synthetic_1stream.ini",
+               "--model", str(best), "--synthetic", "6"])
+    base = preds(capsys.readouterr().out)
+    assert base
+
+    demo.main(["--config", "configs/synthetic_1stream.ini",
+               "--artifact", str(art), "--synthetic", "6"])
+    assert preds(capsys.readouterr().out) == base
+
+    demo.main(["--config", "configs/synthetic_1stream.ini",
+               "--artifact", str(art), "--synthetic", "6",
+               "--pipelined", "--depth", "2"])
+    assert preds(capsys.readouterr().out) == base
