@@ -130,7 +130,14 @@ def export_server(
                  jax.ShapeDtypeStruct((b, t), jnp.float32))
     else:
         specs = _input_specs(config, b, t)
-    ctx = dispatch.disabled() if symbolic else contextlib.nullcontext()
+    # Pallas auto-dispatch needs concrete shapes AND single-platform native
+    # lowering (a TPU kernel baked into the trace fails to lower for cpu) —
+    # fall back to pure StableHLO in either case
+    cross_platform = platforms is not None and (
+        len(set(platforms)) > 1
+        or list(platforms)[0] != jax.default_backend())
+    no_pallas = symbolic or cross_platform
+    ctx = dispatch.disabled() if no_pallas else contextlib.nullcontext()
     with ctx:
         exported = jax.export.export(
             jax.jit(serve),

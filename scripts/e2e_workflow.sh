@@ -13,7 +13,7 @@ WORK="${1:-/tmp/ipavsr_e2e}"
 EPOCHS="${EPOCHS:-3}"
 mkdir -p "$WORK"
 
-echo "== 1/6 synthesize a corpus (reference .mat schema) =="
+echo "== 1/7 synthesize a corpus (reference .mat schema) =="
 python - "$WORK" <<'PY'
 import sys
 import numpy as np, scipy.io as sio
@@ -26,17 +26,17 @@ sio.savemat(sys.argv[1] + "/corpus.mat", d)
 print("corpus:", {k: v.shape for k, v in d.items()})
 PY
 
-echo "== 2/6 DBN pretraining (RBM CD-1 -> unfolded AE, w1..wN .mat) =="
+echo "== 2/7 DBN pretraining (RBM CD-1 -> unfolded AE, w1..wN .mat) =="
 python -m ip_avsr_tpu.cli.pretrain_dbn --data "$WORK/corpus.mat" \
   --hidden 64,32,8 --activations sigm,sigm,linear --epochs "$EPOCHS" \
   --batchsize 100 --out "$WORK/ae.mat"
 
-echo "== 3/6 autoencoder finetuning =="
+echo "== 3/7 autoencoder finetuning =="
 python -m ip_avsr_tpu.cli.ae_finetuner --ae "$WORK/ae.mat" --layers 6 \
   --activations sigmoid,sigmoid,linear,sigmoid,sigmoid,sigmoid \
   --data "$WORK/corpus.mat" --epochs "$EPOCHS" --out "$WORK/ae_finetuned.mat"
 
-echo "== 4/6 train the classifier on the pretrained encoder =="
+echo "== 4/7 train the classifier on the pretrained encoder =="
 cat > "$WORK/e2e.ini" <<INI
 [stream1]
 data = $WORK/corpus.mat
@@ -64,14 +64,20 @@ INI
 python -m ip_avsr_tpu.cli.nstream --config "$WORK/e2e.ini" --split itervec \
   --save_best "$WORK/model.pkl"
 
-echo "== 5/6 weight surgery back to the .mat ABI =="
+echo "== 5/7 weight surgery back to the .mat ABI =="
 python -m ip_avsr_tpu.cli.extract_weights --model "$WORK/model.pkl" \
   --encoder-stream s1 --lstm "aggregator/0/fwd:agg_fwd" \
   --out "$WORK/weights_extracted.mat"
 
-echo "== 6/6 batch-1 serve demo with the trained model =="
+echo "== 6/7 batch-1 serve demo with the trained model =="
 python -m ip_avsr_tpu.cli.demo --config "$WORK/e2e.ini" \
   --model "$WORK/model.pkl" --synthetic 8
+
+echo "== 7/7 export a self-contained serving artifact and serve from it =="
+python -m ip_avsr_tpu.cli.export_model --config "$WORK/e2e.ini" \
+  --model "$WORK/model.pkl" --out "$WORK/model.ipax" --check
+python -m ip_avsr_tpu.cli.demo --config "$WORK/e2e.ini" \
+  --artifact "$WORK/model.ipax" --synthetic 8
 
 echo "e2e workflow complete; artifacts in $WORK:"
 ls -la "$WORK"

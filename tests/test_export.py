@@ -70,6 +70,17 @@ def test_fixed_shape_artifact(tmp_path):
                                rtol=1e-6, atol=1e-7)
     assert srv.batch == 4 and srv.time == 16
 
+    # pinned shapes + multi-platform lowering must fall back to pure
+    # StableHLO (a baked TPU Pallas call cannot lower for cpu) — verified
+    # live on the chip; here it pins the API path
+    path2 = tmp_path / "mfx.ipax"
+    export_lib.save_artifact(str(path2), params, cfg, batch=4, time=16,
+                             platforms=("cpu", "tpu"))
+    srv2 = export_lib.load_server(str(path2))
+    np.testing.assert_allclose(np.asarray(srv2([x], m)),
+                               np.asarray(live([x], m)),
+                               rtol=1e-6, atol=1e-7)
+
 
 def test_trimodal_raw_artifact(tmp_path):
     """Raw-pixel export: diff/DCT/norm prep is inside the artifact."""
