@@ -62,6 +62,10 @@ def main(argv=None):
 
     if args.model:
         params = matio.load_model_params(args.model)
+    elif args.artifact:
+        # serving comes from the artifact's baked weights; these params are
+        # only a placeholder for the (unused) live-predict path
+        params = adenet.init_adenet_params(jax.random.PRNGKey(0), cfg)
     else:
         print("no --model given: using random init (smoke mode)")
         params = adenet.init_adenet_params(jax.random.PRNGKey(0), cfg)
