@@ -111,6 +111,45 @@ def test_trimodal_raw_artifact(tmp_path):
                                    rtol=1e-6, atol=1e-7)
 
 
+@pytest.mark.parametrize("name,build", [
+    ("peephole", lambda: zoo.lstm_classifier_baseline(
+        12, lstm_size=8, output_classes=4, use_peepholes=True)),
+    ("bn_encoder", lambda: adenet.AdeNetConfig(
+        streams=[adenet.StreamSpec(input_dim=12, name="s1",
+                                   encoder_shapes=(10, 6),
+                                   encoder_nonlinearities=("sigmoid",
+                                                           "linear"),
+                                   use_batchnorm=True, use_delta=False)],
+        output_classes=4, lstm_size=8, output_mode="per_step",
+        w_init="glorot")),
+    ("concat_fusion", lambda: zoo.adenet_v2(
+        12, 8, lstm_size=8, window=3, output_classes=4,
+        fusiontype="concat")),
+    ("last_step", lambda: zoo.lstm_classifier_baseline(
+        12, lstm_size=8, output_classes=4)),
+])
+def test_export_across_model_families(tmp_path, name, build):
+    """Export parity beyond the flagship: peepholes (the reference
+    default), BN eval-mode statistics, concat fusion, last-step heads —
+    families whose serve programs exercise different ops must all
+    round-trip through the artifact bit-for-bit on this platform."""
+    cfg = build()
+    params = adenet.init_adenet_params(jax.random.PRNGKey(2), cfg)
+    path = tmp_path / f"{name}.ipax"
+    export_lib.save_artifact(str(path), params, cfg)
+    srv = export_lib.load_server(str(path))
+    live = serve_mod.make_server(params, cfg)
+    rng = np.random.RandomState(0)
+    T = max(cfg.window, 8)
+    streams = [rng.randn(3, T, s.input_dim).astype(np.float32)
+               for s in cfg.streams]
+    mask = (np.arange(T)[None] < rng.randint(2, T + 1, (3, 1))).astype(
+        np.float32)
+    np.testing.assert_allclose(np.asarray(srv(streams, mask)),
+                               np.asarray(live(streams, mask)),
+                               rtol=1e-6, atol=1e-7)
+
+
 def test_artifact_input_validation(tmp_path):
     cfg, params = _deltanet()
     path = tmp_path / "m.ipax"
