@@ -44,6 +44,11 @@ def main(argv=None):
                     help="micro-batch up to K queued same-shaped requests "
                          "into one upload+dispatch (amortizes the per-"
                          "message h2d cost; see serve.PipelinedServer)")
+    ap.add_argument("--streaming", action="store_true",
+                    help="serve each utterance ONLINE, frame by frame "
+                         "(serve.StreamingSession; scores equal the batch "
+                         "server's with a 2*window-frame lookahead). "
+                         "Requires a forward-only head: use_blstm = false")
     ap.add_argument("--artifact", default=None,
                     help="serve from an exported .ipax artifact "
                          "(cli.export_model) instead of rebuilding the "
@@ -107,7 +112,25 @@ def main(argv=None):
         return correct + ok
 
     correct = 0
-    if args.pipelined:
+    if args.streaming:
+        # online serving: one session per utterance, frames fed one by one;
+        # per-frame scores arrive with the 2*window delta lookahead and the
+        # final vote equals the batch server's
+        from ip_avsr_tpu import serve as serve_lib
+
+        for i in range(n):
+            T = int(lens[i])
+            sess = serve_lib.StreamingSession(params, cfg)
+            for t in range(T):
+                frames = [d["dataMatrix"][offsets[i] + t : offsets[i] + t + 1]
+                          [None, ...].astype(np.float32) for d in data]
+                for _ in sess.feed(frames):
+                    pass  # per-frame scores available here, online
+            _, result = sess.finalize()
+            pred = (int(result[0]) if cfg.output_mode == "per_step"
+                    else int(np.argmax(result[0])))
+            correct = report(i, pred, correct)
+    elif args.pipelined:
         # sustained serving: requests padded to one static T (one compiled
         # shape), dispatched async, results fetched in on-device blocks
         from ip_avsr_tpu import serve as serve_lib

@@ -376,3 +376,89 @@ def head_forward(params, config: AdeNetConfig, stream_feats, mask, train,
     else:
         raise ValueError(f"unknown output_mode: {config.output_mode}")
     return out
+
+
+# ---------------------------------------------------------------------------
+# Streaming (stateful) head — online serving, serve.StreamingSession
+# ---------------------------------------------------------------------------
+
+def check_streamable(config: AdeNetConfig) -> None:
+    """Raise if the recurrent head cannot be advanced chunk by chunk.
+
+    A bidirectional aggregator consumes the whole utterance in its flipped
+    half, so its scores are only defined once the utterance ends — that is
+    batch serving, not streaming.  last_step heads stream fine (the score
+    just appears at finalize)."""
+    if config.agg_layers > 0 and config.agg_bidirectional:
+        raise ValueError(
+            "streaming requires a forward-only recurrent head: set "
+            "agg_bidirectional=False or agg_layers=0 (a BLSTM aggregator's "
+            "backward half consumes the whole utterance)")
+
+
+def streaming_init_state(params, config: AdeNetConfig, batch: int) -> dict:
+    """Initial (cell, hid) carries for every recurrence in the head, taken
+    from the learned cell_init/hid_init exactly as the one-shot forward
+    broadcasts them."""
+    def init(p):
+        H = lstm_ops.lstm_params_hidden_size(p)
+        return (jnp.broadcast_to(p["cell_init"], (batch, H)).astype(jnp.float32),
+                jnp.broadcast_to(p["hid_init"], (batch, H)).astype(jnp.float32))
+
+    state = {"streams": {}, "aggregator": []}
+    for spec in config.streams:
+        if spec.use_lstm:
+            state["streams"][spec.name] = init(
+                params["streams"][spec.name]["lstm"])
+    for layer in range(config.agg_layers):
+        if config.agg_bidirectional:
+            raise ValueError("streaming state is forward-only "
+                             "(check_streamable)")
+        state["aggregator"].append(init(params["aggregator"][layer]["fwd"]))
+    return state
+
+
+def head_forward_streaming(params, config: AdeNetConfig, stream_feats, mask,
+                           state):
+    """One streaming chunk through the recurrent head: per-stream LSTMs ->
+    fusion -> forward aggregator stack -> per-frame softmax, with every
+    recurrence carrying (cell, hid) in/out of ``state``.
+
+    Numerics are the one-shot :func:`head_forward` exactly (same ops,
+    masked steps carry state through unchanged — zero-mask chunk padding is
+    free), restricted to the streamable subset (:func:`check_streamable`;
+    dropout off — this is a serving path).  Returns ``(probs (B, n, C),
+    new_state)``; a last_step caller takes the last valid frame's probs at
+    finalize."""
+    check_streamable(config)
+    mmdtype = config._matmul_dtype()
+    B, n = stream_feats[0].shape[0], stream_feats[0].shape[1]
+    new_state = {"streams": {}, "aggregator": []}
+
+    stream_outs = list(stream_feats)
+    for i, spec in enumerate(config.streams):
+        if not spec.use_lstm:
+            continue
+        out, st = lstm_ops.lstm_forward(
+            params["streams"][spec.name]["lstm"], stream_feats[i], mask,
+            matmul_dtype=mmdtype, initial_state=state["streams"][spec.name],
+            return_state=True)
+        stream_outs[i] = out
+        new_state["streams"][spec.name] = st
+
+    fused = fusion_ops.fuse(stream_outs, config.fusiontype,
+                            params.get("adasum"))
+
+    agg = fused
+    for layer in range(config.agg_layers):
+        agg, st = lstm_ops.lstm_forward(
+            params["aggregator"][layer]["fwd"], agg, mask,
+            matmul_dtype=mmdtype, initial_state=state["aggregator"][layer],
+            return_state=True)
+        new_state["aggregator"].append(st)
+
+    w, b = params["output"]["w"], params["output"]["b"]
+    probs = jax.nn.softmax(
+        (agg.reshape(B * n, -1) @ w + b), axis=-1
+    ).reshape(B, n, config.output_classes)
+    return probs, new_state

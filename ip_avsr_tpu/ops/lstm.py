@@ -116,8 +116,20 @@ def lstm_forward(
     use_custom_vjp: bool = True,
     remat: bool = False,
     residual_dtype=None,
+    initial_state=None,
+    return_state: bool = False,
 ) -> jnp.ndarray:
     """Run a masked LSTM over ``x`` (B, T, D); returns hidden states (B, T, H).
+
+    ``initial_state`` ((B, H) cell, (B, H) hid) overrides the learned
+    ``cell_init``/``hid_init`` broadcast, and ``return_state=True`` makes
+    the call return ``(out, (cell_T, hid_T))`` — together they let a
+    STREAMING caller advance the recurrence chunk by chunk with exact
+    one-shot semantics (masked steps carry state through unchanged, so
+    chunk padding with zero mask is free).  Either option routes to the
+    plain-autodiff scan (inference path; the custom-VJP/Pallas cores don't
+    expose their carry) and is incompatible with ``backwards`` (a flipped
+    recurrence has no forward-streamable state).
 
     ``matmul_dtype`` (e.g. jnp.bfloat16) casts matmul *operands* for MXU
     throughput while keeping f32 accumulation and state.
@@ -163,6 +175,13 @@ def lstm_forward(
         mask = jnp.ones((B, T), dtype=jnp.float32)
     mask = mask.astype(jnp.float32)
 
+    if initial_state is not None or return_state:
+        if backwards:
+            raise ValueError("initial_state/return_state require a forward "
+                             "recurrence (backwards=True has no streamable "
+                             "carry)")
+        use_custom_vjp = False
+
     if use_custom_vjp:
         static = (bool(backwards), float(grad_clipping or 0.0),
                   jnp.dtype(matmul_dtype).name if matmul_dtype is not None else None,
@@ -207,8 +226,12 @@ def lstm_forward(
     x_proj_t = jnp.transpose(x_proj, (1, 0, 2))  # (T, B, 4H)
     mask_t = jnp.transpose(mask, (1, 0))[..., None]  # (T, B, 1)
 
-    cell0 = jnp.broadcast_to(params["cell_init"], (B, H)).astype(f32)
-    hid0 = jnp.broadcast_to(params["hid_init"], (B, H)).astype(f32)
+    if initial_state is not None:
+        cell0 = initial_state[0].astype(f32)
+        hid0 = initial_state[1].astype(f32)
+    else:
+        cell0 = jnp.broadcast_to(params["cell_init"], (B, H)).astype(f32)
+        hid0 = jnp.broadcast_to(params["hid_init"], (B, H)).astype(f32)
 
     w_hid_mm = w_hid.astype(matmul_dtype) if matmul_dtype is not None else w_hid
 
@@ -236,10 +259,13 @@ def lstm_forward(
         hid = m * hid + (1.0 - m) * hid_prev
         return (cell, hid), hid
 
-    (_, _), hids = jax.lax.scan(step, (cell0, hid0), (x_proj_t, mask_t))
+    (cell_fin, hid_fin), hids = jax.lax.scan(step, (cell0, hid0),
+                                             (x_proj_t, mask_t))
     out = jnp.transpose(hids, (1, 0, 2))  # (B, T, H)
     if backwards:
         out = jnp.flip(out, axis=1)
+    if return_state:
+        return out, (cell_fin, hid_fin)
     return out
 
 

@@ -289,3 +289,245 @@ def make_bucketed_server(params: dict, config: adenet.AdeNetConfig,
         return scores[:B]
 
     return serve
+
+
+# ---------------------------------------------------------------------------
+# Streaming (online) inference
+# ---------------------------------------------------------------------------
+
+def _np_delta_fir(padded, window):
+    """NumPy mirror of ops.delta.delta_taps_from_padded (same theta loop
+    and coefficients; cross-checked by tests/test_streaming.py) over an
+    already time-extended (B, T + 2W, D) array -> the (B, T, D) centre."""
+    import numpy as np
+
+    T = padded.shape[1] - 2 * window
+    out = np.zeros((padded.shape[0], T, padded.shape[2]), padded.dtype)
+    for theta in range(1, window + 1):
+        coeff = np.float32(1.0 / (2.0 * theta))
+        out += coeff * (padded[:, window + theta : window + theta + T]
+                        - padded[:, window - theta : window - theta + T])
+    return out
+
+
+class StreamingSession:
+    """Online inference: feed frames as they arrive, get per-frame scores.
+
+    The reference can only classify a COMPLETE utterance (oulu/demo.py runs
+    val_fn on the whole clip); production lipreading wants scores while the
+    speaker is still talking.  This session advances the model incrementally
+    with EXACT one-shot semantics:
+
+    * the recurrent head carries (cell, hid) across feeds
+      (models/adenet.head_forward_streaming; masked steps make chunk
+      padding free), so LSTM states are the one-shot states;
+    * the delta features are centered FIRs (cascaded twice for the
+      acceleration term, each with its own edge padding — ops/delta.py), so
+      frame t's features are final once frame t + 2*window has arrived:
+      scores are emitted with a fixed ``2*window``-frame lookahead latency,
+      and :meth:`finalize` flushes the tail with the true end-of-utterance
+      edge padding.  Every emitted score equals the one-shot forward's
+      score for that frame exactly (up to f32 summation order).
+
+    Constraints (:func:`models.adenet.check_streamable`): the aggregator
+    must be forward-only (``agg_bidirectional=False`` or ``agg_layers=0``)
+    — a BLSTM's backward half consumes the whole utterance.  Utterance-
+    level host preprocessing (e.g. samplewise normalization) is the
+    caller's concern, as with every server here: feed the features the
+    model was trained on.
+
+    Chunks of any size may be fed; internally sizes are bucketed to powers
+    of two (zero-mask padding), so the compile set stays logarithmic.
+
+    >>> sess = StreamingSession(params, cfg)
+    >>> for chunk in frame_source:          # (1, n, D) per stream
+    ...     for probs in sess.feed([chunk]):
+    ...         ...                         # (1, C) per emitted frame
+    >>> final = sess.finalize()             # flush tail; vote / last_step
+    """
+
+    def __init__(self, params: dict, config: adenet.AdeNetConfig,
+                 batch: int = 1):
+        adenet.check_streamable(config)
+        self._params = params
+        self._config = config
+        self._B = int(batch)
+        self._W = int(config.window)
+        # lookahead: the cascaded delta FIRs need 2W future frames; without
+        # any delta stream frames are final immediately
+        self._L = 2 * self._W if any(s.use_delta for s in config.streams) else 0
+        self._state = adenet.streaming_init_state(params, config, self._B)
+        self._enc = []      # per stream: (B, S, E) float32 encoded frames
+        self._emitted = 0   # frames whose scores have been yielded
+        self._votes = None  # (B, C) int64 running argmax counts
+        self._last_probs = None
+        self._finalized = False
+
+        mmdtype = config._matmul_dtype()
+
+        def prep(stream_idx, x):
+            spec = config.streams[stream_idx]
+            sp = params["streams"][spec.name]
+            B, n = x.shape[0], x.shape[1]
+            if spec.encoder_shapes:
+                from ip_avsr_tpu.models import encoder as encoder_mod
+
+                x = encoder_mod.encoder_forward(
+                    sp["encoder"], x.reshape(B * n, spec.input_dim),
+                    spec.encoder_nonlinearities, matmul_dtype=mmdtype,
+                ).reshape(B, n, -1)
+            if spec.use_batchnorm:
+                from ip_avsr_tpu.ops import normalization as norm_ops
+
+                x, _ = norm_ops.batch_norm_forward(sp["bn"], sp["bn_state"],
+                                                   x, train=False)
+            return x
+
+        self._prep = [jax.jit(lambda x, i=i: prep(i, x))
+                      for i in range(len(config.streams))]
+        self._advance = jax.jit(
+            lambda feats, mask, state: adenet.head_forward_streaming(
+                params, config, list(feats), mask, state))
+
+    # -- internals ----------------------------------------------------------
+
+    @staticmethod
+    def _bucket(n: int) -> int:
+        b = 1
+        while b < n:
+            b *= 2
+        return b
+
+    def _encode(self, chunks):
+        import numpy as np
+
+        out = []
+        for i, x in enumerate(chunks):
+            x = np.asarray(x, np.float32)
+            if x.shape[0] != self._B:
+                raise ValueError(f"batch {x.shape[0]} != session batch "
+                                 f"{self._B}")
+            n = x.shape[1]
+            nb = self._bucket(n)
+            if nb != n:
+                x = np.pad(x, ((0, 0), (0, nb - n), (0, 0)))
+            enc = np.asarray(self._prep[i](x))[:, :n]
+            out.append(enc)
+        return out
+
+    def _features(self, stream_idx, e, f, final):
+        """Exact [x, delta, accel] features for frames [e, f) of one stream
+        from the encoded buffer (see the class docstring for the boundary
+        semantics)."""
+        import numpy as np
+
+        x = self._enc[stream_idx]
+        spec = self._config.streams[stream_idx]
+        if not spec.use_delta:
+            return x[:, e:f]
+        W = self._W
+        S = x.shape[1]
+        d_start = max(e - W, 0)
+        x_lo = max(d_start - W, 0)
+        left_x = W - (d_start - x_lo)
+        parts = []
+        if left_x:
+            parts.append(np.repeat(x[:, :1], left_x, axis=1))
+        parts.append(x[:, x_lo:])
+        if final:
+            parts.append(np.repeat(x[:, -1:], W, axis=1))
+        ctx = np.concatenate(parts, axis=1)        # spans [d_start - W, ...)
+        d = _np_delta_fir(ctx, W)                  # d over [d_start, S[-W])
+        left_d = d_start - (e - W)                 # >0 only near the start
+        parts = []
+        if left_d:
+            parts.append(np.repeat(d[:, :1], left_d, axis=1))
+        parts.append(d)
+        if final:
+            parts.append(np.repeat(d[:, -1:], W, axis=1))
+        d_cov = np.concatenate(parts, axis=1)      # spans [e - W, f + W)
+        a = _np_delta_fir(d_cov, W)                # a over [e, f)
+        n = f - e
+        return np.concatenate([x[:, e:f], d_cov[:, W : W + n], a[:, :n]],
+                              axis=-1)
+
+    def _emit(self, f, final=False):
+        """Run the head over frames [self._emitted, f) and yield per-frame
+        (B, C) probs."""
+        import numpy as np
+
+        e = self._emitted
+        if f <= e:
+            return
+        feats = [self._features(i, e, f, final)
+                 for i in range(len(self._config.streams))]
+        n = f - e
+        nb = self._bucket(n)
+        mask = np.zeros((self._B, nb), np.float32)
+        mask[:, :n] = 1.0
+        if nb != n:
+            feats = [np.pad(x, ((0, 0), (0, nb - n), (0, 0))) for x in feats]
+        probs, self._state = self._advance(tuple(feats), mask, self._state)
+        probs = np.asarray(probs)[:, :n]
+        self._emitted = f
+        if self._votes is None:
+            self._votes = np.zeros((self._B, self._config.output_classes),
+                                   np.int64)
+        for t in range(n):
+            p = probs[:, t]
+            np.add.at(self._votes, (np.arange(self._B), p.argmax(-1)), 1)
+            self._last_probs = p
+            yield p
+
+    # -- public API ---------------------------------------------------------
+
+    def feed(self, chunks):
+        """Append one chunk per stream ((B, n, D_i), equal n) and yield the
+        (B, C) probs of every frame that became final."""
+        if self._finalized:
+            raise RuntimeError("session is finalized")
+        enc = self._encode(chunks)
+        n = enc[0].shape[1]
+        if any(e.shape[1] != n for e in enc):
+            raise ValueError("streams must advance in lockstep "
+                             "(equal frames per feed)")
+        if not self._enc:
+            self._enc = enc
+        else:
+            import numpy as np
+
+            self._enc = [np.concatenate([b, e], axis=1)
+                         for b, e in zip(self._enc, enc)]
+        S = self._enc[0].shape[1]
+        yield from self._emit(S - self._L)
+
+    def finalize(self):
+        """Flush the lookahead tail (end-of-utterance edge padding) and
+        return ``(tail_probs, result)``: the (B, k, C) probs of the k
+        flushed frames, and the utterance-level result — majority-vote
+        class ids (B,) for per_step models, the last frame's (B, C) probs
+        for last_step models."""
+        import numpy as np
+
+        if self._finalized:
+            raise RuntimeError("session is finalized")
+        if not self._enc:
+            raise RuntimeError("no frames were fed")
+        tail = list(self._emit(self._enc[0].shape[1], final=True))
+        tail = (np.stack(tail, axis=1) if tail
+                else np.zeros((self._B, 0, self._config.output_classes),
+                              np.float32))
+        self._finalized = True
+        if self._config.output_mode == "last_step":
+            return tail, self._last_probs
+        return tail, np.argmax(self._votes, axis=-1)
+
+    def predict(self):
+        """Running majority-vote class ids (B,) over the frames emitted so
+        far (ties toward the lower class id, as masked_majority_vote)."""
+        import numpy as np
+
+        if self._votes is None:
+            raise RuntimeError("no frames emitted yet (the delta lookahead "
+                               f"is {self._L} frames)")
+        return np.argmax(self._votes, axis=-1)

@@ -578,3 +578,31 @@ def test_lstm_custom_vjp_matches_finite_differences(peep, remat):
         analytic = float(np.dot(g_vec, d))
         np.testing.assert_allclose(analytic, fd, rtol=2e-2, atol=2e-3,
                                    err_msg=f"peep={peep} remat={remat}")
+
+
+@pytest.mark.parametrize("peep", [False, True])
+def test_lstm_chunked_state_carry_matches_one_shot(peep):
+    """initial_state/return_state (the streaming plumbing): advancing the
+    recurrence in chunks reproduces the one-shot hidden states exactly,
+    including masked steps carrying state through."""
+    key = jax.random.PRNGKey(0)
+    p = lstm.init_lstm_params(key, 6, 5, use_peepholes=peep)
+    rng = np.random.RandomState(0)
+    x = rng.randn(2, 11, 6).astype(np.float32)
+    m = (np.arange(11)[None] < np.array([[11], [7]])).astype(np.float32)
+    full = lstm.lstm_forward(p, jnp.asarray(x), jnp.asarray(m),
+                             use_custom_vjp=False)
+
+    outs, st, s = [], None, 0
+    for n in (4, 4, 3):
+        o, st = lstm.lstm_forward(p, jnp.asarray(x[:, s:s + n]),
+                                  jnp.asarray(m[:, s:s + n]),
+                                  initial_state=st, return_state=True)
+        outs.append(np.asarray(o))
+        s += n
+    np.testing.assert_allclose(np.concatenate(outs, axis=1),
+                               np.asarray(full), atol=1e-6)
+
+    with pytest.raises(ValueError, match="backwards"):
+        lstm.lstm_forward(p, jnp.asarray(x), jnp.asarray(m),
+                          backwards=True, return_state=True)
