@@ -236,6 +236,137 @@ class ExportedServer:
         return self._exported.call(streams, mask)
 
 
+def save_streaming_artifact(
+    path: str,
+    params: dict,
+    config: adenet.AdeNetConfig,
+    *,
+    batch: int = 1,
+    platforms: Optional[Sequence[str]] = None,
+    labels: Optional[Sequence[str]] = None,
+) -> None:
+    """Export a STREAMING session (serve.StreamingSession) as one artifact.
+
+    Serializes the session's two device programs — the per-stream prep
+    (encoder + eval BN) and the stateful head advance — with a symbolic
+    chunk length, plus the initial recurrent-state arrays and the scalar
+    session contract (window, lookahead, per-stream delta flags, head
+    mode).  :func:`load_streaming_session` revives a fully functional
+    session on a host with jax and this package's serve module only (no
+    model zoo, weights, or config parsing).  The chunk axis being symbolic,
+    any feed pattern works; like the symbolic batch server this trace
+    disables Pallas dispatch and lowers for cpu+tpu by default.
+    """
+    from ip_avsr_tpu.ops.pallas import dispatch
+    from ip_avsr_tpu.serve import StreamingSession
+
+    sess = StreamingSession(params, config, batch=batch)
+    if platforms is None:
+        platforms = ("cpu", "tpu")
+    n, = jax.export.symbolic_shape("n", constraints=["n >= 1"])
+
+    blobs, state_leaves = {}, {}
+    with dispatch.disabled():
+        for i, spec in enumerate(config.streams):
+            x_spec = jax.ShapeDtypeStruct((batch, n, spec.input_dim),
+                                          jnp.float32)
+            blobs[f"prep_{i}"] = jax.export.export(
+                jax.jit(sess._prep[i]), platforms=tuple(platforms))(
+                    x_spec).serialize()
+        feat_specs = tuple(
+            jax.ShapeDtypeStruct((batch, n, s.feature_dim()), jnp.float32)
+            for s in config.streams)
+        mask_spec = jax.ShapeDtypeStruct((batch, n), jnp.float32)
+        state_specs = jax.tree_util.tree_map(
+            lambda a: jax.ShapeDtypeStruct(a.shape, a.dtype), sess._state)
+        blobs["advance"] = jax.export.export(
+            jax.jit(sess._advance), platforms=tuple(platforms))(
+                feat_specs, mask_spec, state_specs).serialize()
+
+    import io
+
+    import numpy as np
+
+    leaves, treedef = jax.tree_util.tree_flatten(sess._state)
+    state_buf = io.BytesIO()
+    np.savez(state_buf, **{f"leaf_{i}": np.asarray(l)
+                           for i, l in enumerate(leaves)})
+
+    meta = {
+        "format": _FORMAT,
+        "jax_version": jax.__version__,
+        "config": config_to_dict(config),
+        "labels": list(labels) if labels is not None else None,
+        "streaming": {
+            "batch": int(batch),
+            "window": int(config.window),
+            "lookahead": int(sess._L),
+            "use_delta": [bool(s.use_delta) for s in config.streams],
+            "output_mode": config.output_mode,
+            "output_classes": int(config.output_classes),
+            "stream_dims": [s.input_dim for s in config.streams],
+            "n_state_leaves": len(leaves),
+            "platforms": list(platforms),
+        },
+        "entries": [{"name": k, "blob": f"entries/{k}.jaxexport"}
+                    for k in sorted(blobs)],
+    }
+    with zipfile.ZipFile(path, "w", zipfile.ZIP_DEFLATED) as z:
+        z.writestr("meta.json", json.dumps(meta, indent=1))
+        for k, blob in blobs.items():
+            z.writestr(f"entries/{k}.jaxexport", blob)
+        z.writestr("state0.npz", state_buf.getvalue())
+
+
+def load_streaming_session(path: str):
+    """Revive a :func:`save_streaming_artifact` file as a live
+    :class:`ip_avsr_tpu.serve.StreamingSession` (fresh initial state — one
+    loaded artifact can be reopened per utterance via repeated calls)."""
+    import io
+
+    import numpy as np
+
+    from ip_avsr_tpu.serve import StreamingSession
+
+    with zipfile.ZipFile(path) as z:
+        meta = json.loads(z.read("meta.json").decode("utf-8"))
+        if meta.get("format") != _FORMAT or "streaming" not in meta:
+            raise ValueError("not a streaming export artifact")
+        s = meta["streaming"]
+        exported = {e["name"]: jax.export.deserialize(z.read(e["blob"]))
+                    for e in meta["entries"]}
+        npz = np.load(io.BytesIO(z.read("state0.npz")))
+        leaves = [jnp.asarray(npz[f"leaf_{i}"])
+                  for i in range(s["n_state_leaves"])]
+
+    # rebuild the state treedef from the config (same structure
+    # streaming_init_state produces — the advance program was traced with it)
+    config = config_from_dict(meta["config"])
+    treedef = jax.tree_util.tree_structure(
+        _streaming_state_structure(config))
+    state0 = jax.tree_util.tree_unflatten(treedef, leaves)
+
+    prep = [exported[f"prep_{i}"].call for i in range(len(s["stream_dims"]))]
+    advance = exported["advance"].call
+    return StreamingSession._from_parts(
+        prep=prep, advance=advance, state0=state0,
+        window=s["window"], lookahead=s["lookahead"],
+        use_delta=s["use_delta"], output_mode=s["output_mode"],
+        output_classes=s["output_classes"], batch=s["batch"])
+
+
+def _streaming_state_structure(config: adenet.AdeNetConfig):
+    """A value with the same pytree STRUCTURE as streaming_init_state's
+    output (leaf values irrelevant — used only for unflattening)."""
+    state = {"streams": {}, "aggregator": []}
+    for spec in config.streams:
+        if spec.use_lstm:
+            state["streams"][spec.name] = (0, 0)
+    for _ in range(config.agg_layers):
+        state["aggregator"].append((0, 0))
+    return state
+
+
 def load_server(path: str) -> ExportedServer:
     """Load a ``.ipax`` artifact written by :func:`save_artifact`."""
     with zipfile.ZipFile(path) as z:
@@ -243,6 +374,9 @@ def load_server(path: str) -> ExportedServer:
         if meta.get("format") != _FORMAT:
             raise ValueError(f"not an ipavsr export artifact: "
                              f"format={meta.get('format')!r}")
+        if "streaming" in meta:
+            raise ValueError("this is a streaming artifact — use "
+                             "load_streaming_session()")
         entry = meta["entries"][0]
         exported = jax.export.deserialize(z.read(entry["blob"]))
     return ExportedServer(meta, exported)

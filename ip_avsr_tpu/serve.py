@@ -356,6 +356,12 @@ class StreamingSession:
         # lookahead: the cascaded delta FIRs need 2W future frames; without
         # any delta stream frames are final immediately
         self._L = 2 * self._W if any(s.use_delta for s in config.streams) else 0
+        # scalar session contract (what a deserialized artifact session
+        # needs without the AdeNetConfig: export.load_streaming_session)
+        self._use_delta = [bool(s.use_delta) for s in config.streams]
+        self._n_streams = len(config.streams)
+        self._out_mode = config.output_mode
+        self._C = int(config.output_classes)
         self._state = adenet.streaming_init_state(params, config, self._B)
         self._enc = []      # per stream: (B, S, E) float32 encoded frames
         self._emitted = 0   # frames whose scores have been yielded
@@ -389,6 +395,33 @@ class StreamingSession:
             lambda feats, mask, state: adenet.head_forward_streaming(
                 params, config, list(feats), mask, state))
 
+    @classmethod
+    def _from_parts(cls, *, prep, advance, state0, window, lookahead,
+                    use_delta, output_mode, output_classes, batch):
+        """Session over injected device callables — how
+        :func:`ip_avsr_tpu.export.load_streaming_session` revives an
+        exported streaming artifact without the model code.  ``prep`` is a
+        list of per-stream ``(B, n, D_i) -> (B, n, E_i)`` callables,
+        ``advance`` is ``(feats tuple, mask, state) -> (probs, state)``,
+        ``state0`` the initial recurrent-state pytree."""
+        self = cls.__new__(cls)
+        self._B = int(batch)
+        self._W = int(window)
+        self._L = int(lookahead)
+        self._use_delta = list(use_delta)
+        self._n_streams = len(prep)
+        self._out_mode = output_mode
+        self._C = int(output_classes)
+        self._state = state0
+        self._enc = []
+        self._emitted = 0
+        self._votes = None
+        self._last_probs = None
+        self._finalized = False
+        self._prep = list(prep)
+        self._advance = advance
+        return self
+
     # -- internals ----------------------------------------------------------
 
     @staticmethod
@@ -401,6 +434,9 @@ class StreamingSession:
     def _encode(self, chunks):
         import numpy as np
 
+        if len(chunks) != self._n_streams:
+            raise ValueError(f"model has {self._n_streams} streams, "
+                             f"got {len(chunks)} chunks")
         out = []
         for i, x in enumerate(chunks):
             x = np.asarray(x, np.float32)
@@ -422,8 +458,7 @@ class StreamingSession:
         import numpy as np
 
         x = self._enc[stream_idx]
-        spec = self._config.streams[stream_idx]
-        if not spec.use_delta:
+        if not self._use_delta[stream_idx]:
             return x[:, e:f]
         W = self._W
         S = x.shape[1]
@@ -460,7 +495,7 @@ class StreamingSession:
         if f <= e:
             return
         feats = [self._features(i, e, f, final)
-                 for i in range(len(self._config.streams))]
+                 for i in range(self._n_streams)]
         n = f - e
         nb = self._bucket(n)
         mask = np.zeros((self._B, nb), np.float32)
@@ -471,8 +506,7 @@ class StreamingSession:
         probs = np.asarray(probs)[:, :n]
         self._emitted = f
         if self._votes is None:
-            self._votes = np.zeros((self._B, self._config.output_classes),
-                                   np.int64)
+            self._votes = np.zeros((self._B, self._C), np.int64)
         for t in range(n):
             p = probs[:, t]
             np.add.at(self._votes, (np.arange(self._B), p.argmax(-1)), 1)
@@ -515,10 +549,9 @@ class StreamingSession:
             raise RuntimeError("no frames were fed")
         tail = list(self._emit(self._enc[0].shape[1], final=True))
         tail = (np.stack(tail, axis=1) if tail
-                else np.zeros((self._B, 0, self._config.output_classes),
-                              np.float32))
+                else np.zeros((self._B, 0, self._C), np.float32))
         self._finalized = True
-        if self._config.output_mode == "last_step":
+        if self._out_mode == "last_step":
             return tail, self._last_probs
         return tail, np.argmax(self._votes, axis=-1)
 

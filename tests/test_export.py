@@ -228,3 +228,54 @@ def test_export_model_cli_and_demo_artifact(tmp_path, capsys):
                "--artifact", str(art), "--synthetic", "6",
                "--pipelined", "--depth", "2"])
     assert preds(capsys.readouterr().out) == base
+
+
+def test_streaming_artifact_round_trip(tmp_path):
+    """save_streaming_artifact -> load_streaming_session: the revived
+    session (no model code path) matches the batch server exactly, and the
+    artifact reopens fresh for a second utterance."""
+    import dataclasses
+
+    from ip_avsr_tpu.ops.voting import masked_majority_vote
+
+    cfg, params = _deltanet()
+    cfg = dataclasses.replace(cfg, agg_bidirectional=False)
+    params = adenet.init_adenet_params(jax.random.PRNGKey(0), cfg)
+    path = tmp_path / "s.ipax"
+    export_lib.save_streaming_artifact(str(path), params, cfg)
+    live = serve_mod.make_server(params, cfg, vote=False)
+    rng = np.random.RandomState(0)
+
+    for utt, splits in ((0, [1, 3, 2, 7, 4, 4]), (1, [9])):
+        T = sum(splits)
+        x = rng.randn(1, T, 12).astype(np.float32)
+        ref = np.asarray(live([x], np.ones((1, T), np.float32)))
+        sess = export_lib.load_streaming_session(str(path))
+        got, s = [], 0
+        for n in splits:
+            got += list(sess.feed([x[:, s:s + n]]))
+            s += n
+        tail, pred = sess.finalize()
+        emitted = (np.concatenate([np.stack(got, axis=1), tail], axis=1)
+                   if got else tail)
+        np.testing.assert_allclose(emitted, ref, atol=1e-6)
+        np.testing.assert_array_equal(
+            pred, masked_majority_vote(ref, np.ones((1, T))))
+
+
+def test_streaming_artifact_loader_mismatch(tmp_path):
+    """Each loader rejects the other kind of artifact with a clear error."""
+    import dataclasses
+
+    cfg, params = _deltanet()
+    batch_path = tmp_path / "b.ipax"
+    export_lib.save_artifact(str(batch_path), params, cfg)
+    with pytest.raises(ValueError, match="streaming"):
+        export_lib.load_streaming_session(str(batch_path))
+
+    scfg = dataclasses.replace(cfg, agg_bidirectional=False)
+    sparams = adenet.init_adenet_params(jax.random.PRNGKey(0), scfg)
+    stream_path = tmp_path / "s.ipax"
+    export_lib.save_streaming_artifact(str(stream_path), sparams, scfg)
+    with pytest.raises(ValueError, match="load_streaming_session"):
+        export_lib.load_server(str(stream_path))
