@@ -43,7 +43,6 @@ import jax.numpy as jnp
 from ip_avsr_tpu.models import adenet
 
 _FORMAT = "ipavsr-export/1"
-_VOTE_DIM = object()  # sentinel: entry output is (B, C) voted scores
 
 
 def config_to_dict(config: adenet.AdeNetConfig) -> dict:
@@ -265,7 +264,7 @@ def save_streaming_artifact(
         platforms = ("cpu", "tpu")
     n, = jax.export.symbolic_shape("n", constraints=["n >= 1"])
 
-    blobs, state_leaves = {}, {}
+    blobs = {}
     with dispatch.disabled():
         for i, spec in enumerate(config.streams):
             x_spec = jax.ShapeDtypeStruct((batch, n, spec.input_dim),

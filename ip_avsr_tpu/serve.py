@@ -516,8 +516,12 @@ class StreamingSession:
     # -- public API ---------------------------------------------------------
 
     def feed(self, chunks):
-        """Append one chunk per stream ((B, n, D_i), equal n) and yield the
-        (B, C) probs of every frame that became final."""
+        """Append one chunk per stream ((B, n, D_i), equal n) and return the
+        list of (B, C) probs of every frame that became final.
+
+        Eager on purpose (a list, not a generator): the frames must enter
+        the buffers whether or not the caller looks at the scores — a lazy
+        feed that is never iterated would silently drop its input."""
         if self._finalized:
             raise RuntimeError("session is finalized")
         enc = self._encode(chunks)
@@ -533,7 +537,7 @@ class StreamingSession:
             self._enc = [np.concatenate([b, e], axis=1)
                          for b, e in zip(self._enc, enc)]
         S = self._enc[0].shape[1]
-        yield from self._emit(S - self._L)
+        return list(self._emit(S - self._L))
 
     def finalize(self):
         """Flush the lookahead tail (end-of-utterance edge padding) and

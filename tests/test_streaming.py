@@ -165,6 +165,27 @@ def test_streaming_api_misuse():
     sess2 = StreamingSession(params, cfg)
     with pytest.raises(ValueError, match="batch"):
         list(sess2.feed([np.zeros((2, 8, 12), np.float32)]))
+    # wrong stream count
+    with pytest.raises(ValueError, match="streams"):
+        sess2.feed([x, x])
+
+
+def test_feed_is_eager():
+    """feed() must buffer its frames even when the caller ignores the
+    returned scores (a lazy generator would silently drop the input)."""
+    cfg = _streamable_cfg()
+    params = adenet.init_adenet_params(jax.random.PRNGKey(0), cfg)
+    live = make_server(params, cfg, vote=False)
+    x = np.random.RandomState(7).randn(1, 15, 12).astype(np.float32)
+    ref = np.asarray(live([x], np.ones((1, 15), np.float32)))
+
+    sess = StreamingSession(params, cfg)
+    sess.feed([x[:, :10]])   # return value ignored on purpose
+    out = sess.feed([x[:, 10:]])
+    tail, _ = sess.finalize()
+    # 10 frames ignored + the rest must still line up frame-for-frame
+    got = np.concatenate([np.stack(out, axis=1), tail], axis=1)
+    np.testing.assert_allclose(got, ref[:, 15 - got.shape[1]:], atol=1e-6)
 
 
 def test_np_delta_fir_mirrors_the_op():
