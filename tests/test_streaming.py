@@ -228,6 +228,75 @@ def test_demo_streaming_cli_matches_sync(tmp_path, capsys):
     assert preds(capsys.readouterr().out) == sync
 
 
+def test_streaming_config_family_property():
+    """Hypothesis over STREAMABLE config space: delta on/off per stream,
+    encoders, peepholes, non-LSTM passthrough streams, fusion modes,
+    0/1/2 forward agg layers, both heads, windows 1..4, random chunk
+    splits — every drawn case must match the one-shot server.  This is the
+    correctness net for the hand-derived delta-lookahead bookkeeping."""
+    from hypothesis import given, settings, strategies as st
+
+    from ip_avsr_tpu.models.adenet import AdeNetConfig, StreamSpec
+
+    @settings(max_examples=12, deadline=None)
+    @given(data=st.data())
+    def run(data):
+        n_streams = data.draw(st.integers(1, 2), label="n_streams")
+        window = data.draw(st.integers(1, 4), label="window")
+        streams = []
+        any_lstm = False
+        for i in range(n_streams):
+            use_lstm = data.draw(st.booleans(), label=f"lstm{i}")
+            any_lstm |= use_lstm
+            enc = data.draw(st.booleans(), label=f"enc{i}")
+            streams.append(StreamSpec(
+                input_dim=6 + 2 * i, name=f"s{i}",
+                encoder_shapes=(8, 5) if enc else None,
+                encoder_nonlinearities=("sigmoid", "linear") if enc else None,
+                use_delta=data.draw(st.booleans(), label=f"delta{i}"),
+                use_lstm=use_lstm))
+        agg_layers = data.draw(st.integers(0, 2), label="agg_layers")
+        if not any_lstm and agg_layers == 0:
+            agg_layers = 1  # need some recurrence for a classifier dim
+        # non-LSTM streams pass their feature dim through: sum-fusion needs
+        # equal dims, so mixed lstm/non-lstm always uses concat
+        dims = [(5 if s.encoder_shapes else s.input_dim)
+                * (3 if s.use_delta else 1) if not s.use_lstm else 7
+                for s in streams]
+        fusiontype = ("concat" if len(set(dims)) > 1 else
+                      data.draw(st.sampled_from(["sum", "concat"]),
+                                label="fusion"))
+        cfg = AdeNetConfig(
+            streams=streams, output_classes=4, lstm_size=7, window=window,
+            fusiontype=fusiontype, agg_layers=agg_layers,
+            agg_bidirectional=False,
+            output_mode=data.draw(st.sampled_from(["per_step", "last_step"]),
+                                  label="head"),
+            use_peepholes=data.draw(st.booleans(), label="peep"),
+            w_init="glorot")
+        params = adenet.init_adenet_params(jax.random.PRNGKey(7), cfg)
+        live = make_server(params, cfg, vote=False)
+
+        T = data.draw(st.integers(max(2 * window, 3), 14), label="T")
+        rng = np.random.RandomState(T)
+        xs = [rng.randn(1, T, s.input_dim).astype(np.float32)
+              for s in streams]
+        ref = np.asarray(live(xs, np.ones((1, T), np.float32)))
+
+        splits, left = [], T
+        while left > 0:
+            n = min(data.draw(st.integers(1, 5)), left)
+            splits.append(n)
+            left -= n
+        emitted, _ = _run_session(params, cfg, xs, splits)
+        if cfg.output_mode == "per_step":
+            np.testing.assert_allclose(emitted, ref, atol=2e-6)
+        else:
+            np.testing.assert_allclose(emitted[:, -1], ref, atol=2e-6)
+
+    run()
+
+
 def test_streaming_chunking_property():
     """Hypothesis: ANY chunk split yields the same scores as one shot."""
     from hypothesis import given, settings, strategies as st
