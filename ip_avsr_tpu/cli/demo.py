@@ -76,7 +76,7 @@ def main(argv=None):
         params = adenet.init_adenet_params(jax.random.PRNGKey(0), cfg)
 
     artifact = None
-    if args.artifact:
+    if args.artifact and not args.streaming:
         from ip_avsr_tpu import export as export_lib
 
         artifact = export_lib.load_server(args.artifact)
@@ -118,9 +118,16 @@ def main(argv=None):
         # final vote equals the batch server's
         from ip_avsr_tpu import serve as serve_lib
 
+        def new_session():
+            if args.artifact:
+                from ip_avsr_tpu import export as export_lib
+
+                return export_lib.load_streaming_session(args.artifact)
+            return serve_lib.StreamingSession(params, cfg)
+
         for i in range(n):
             T = int(lens[i])
-            sess = serve_lib.StreamingSession(params, cfg)
+            sess = new_session()
             for t in range(T):
                 frames = [d["dataMatrix"][offsets[i] + t : offsets[i] + t + 1]
                           [None, ...].astype(np.float32) for d in data]

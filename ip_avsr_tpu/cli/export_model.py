@@ -38,6 +38,12 @@ def main(argv=None):
     ap.add_argument("--per_step", action="store_true",
                     help="export per-step (B, T, C) scores instead of the "
                          "voted (B, C) head")
+    ap.add_argument("--streaming", action="store_true",
+                    help="export a STREAMING artifact instead (the stateful "
+                         "session's prep+advance programs; requires a "
+                         "forward-only head, INI use_blstm = false); "
+                         "consume with export.load_streaming_session or "
+                         "demo --streaming --artifact")
     ap.add_argument("--batch", type=int, default=None,
                     help="pin the batch axis (default: symbolic — any size)")
     ap.add_argument("--time", type=int, default=None,
@@ -68,29 +74,48 @@ def main(argv=None):
               else clf.output_classnames or None)
     platforms = args.platforms.split(",") if args.platforms else None
 
-    export_lib.save_artifact(
-        args.out, params, cfg, vote=not args.per_step,
-        batch=args.batch, time=args.time, platforms=platforms, labels=labels)
+    if args.streaming:
+        export_lib.save_streaming_artifact(
+            args.out, params, cfg, batch=args.batch or 1, labels=labels,
+            platforms=platforms)
+    else:
+        export_lib.save_artifact(
+            args.out, params, cfg, vote=not args.per_step,
+            batch=args.batch, time=args.time, platforms=platforms,
+            labels=labels)
     import os
 
     print(f"wrote {args.out} ({os.path.getsize(args.out)} bytes, "
-          f"batch={'any' if args.batch is None else args.batch}, "
+          f"{'streaming' if args.streaming else 'batch'}, "
+          f"batch={'any' if args.batch is None and not args.streaming else args.batch or 1}, "
           f"time={'any' if args.time is None else args.time})")
 
     if args.check:
         from ip_avsr_tpu.serve import make_server
 
-        srv = export_lib.load_server(args.out)
-        live = make_server(params, cfg, vote=not args.per_step)
         rng = np.random.RandomState(0)
-        B = args.batch or 3
-        T = args.time or max(cfg.window, 8)
-        streams = [rng.randn(B, T, s.input_dim).astype(np.float32)
-                   for s in cfg.streams]
-        mask = np.ones((B, T), np.float32)
-        got = np.asarray(srv(streams, mask))
-        want = np.asarray(live(streams, mask))
-        np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+        T = args.time or max(cfg.window * 2, 8)
+        if args.streaming:
+            sess = export_lib.load_streaming_session(args.out)
+            live = make_server(params, cfg, vote=False)
+            B = args.batch or 1
+            streams = [rng.randn(B, T, s.input_dim).astype(np.float32)
+                       for s in cfg.streams]
+            got = list(sess.feed(streams))
+            tail, _ = sess.finalize()
+            got = (np.concatenate([np.stack(got, axis=1), tail], axis=1)
+                   if got else tail)
+            want = np.asarray(live(streams, np.ones((B, T), np.float32)))
+        else:
+            srv = export_lib.load_server(args.out)
+            live = make_server(params, cfg, vote=not args.per_step)
+            B = args.batch or 3
+            streams = [rng.randn(B, T, s.input_dim).astype(np.float32)
+                       for s in cfg.streams]
+            mask = np.ones((B, T), np.float32)
+            got = np.asarray(srv(streams, mask))
+            want = np.asarray(live(streams, mask))
+        np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
         print(f"check OK: artifact matches the live server "
               f"(max |diff| {np.abs(got - want).max():.2e})")
 

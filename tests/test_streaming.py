@@ -227,6 +227,18 @@ def test_demo_streaming_cli_matches_sync(tmp_path, capsys):
                "--synthetic", "5", "--streaming"])
     assert preds(capsys.readouterr().out) == sync
 
+    # streaming ARTIFACT chain: export_model --streaming --check, then the
+    # demo serves streaming sessions revived from the artifact
+    from ip_avsr_tpu.cli import export_model
+
+    art = tmp_path / "stream.ipax"
+    export_model.main(["--config", str(cfg_path), "--model", str(best),
+                       "--out", str(art), "--streaming", "--check"])
+    assert "check OK" in capsys.readouterr().out
+    demo.main(["--config", str(cfg_path), "--synthetic", "5",
+               "--streaming", "--artifact", str(art)])
+    assert preds(capsys.readouterr().out) == sync
+
 
 def test_streaming_config_family_property():
     """Hypothesis over STREAMABLE config space: delta on/off per stream,
