@@ -9,6 +9,7 @@ raw (B, T, D) uint8/float pixels in, (B, C) scores out, nothing on the host.
 
 from __future__ import annotations
 
+import functools
 from typing import Optional
 
 import jax
@@ -54,17 +55,62 @@ def make_trimodal_server(
     return serve
 
 
-def make_server(params: dict, config: adenet.AdeNetConfig, vote: bool = True):
-    """Generic server for preprocessed streams: (streams, mask) -> scores."""
+def make_server(params: dict, config: adenet.AdeNetConfig, vote: bool = True,
+                mesh=None):
+    """Generic server for preprocessed streams: (streams, mask) -> scores.
 
-    @jax.jit
-    def serve(streams, mask):
-        out = adenet.adenet_forward(params, config, list(streams), mask, train=False)
+    ``mesh`` (a 1-D ``jax.sharding.Mesh``, e.g.
+    ``parallel.mesh.make_mesh()``) shards the request batch over its
+    devices — offline/bulk scoring scales out exactly like training's
+    data-parallel eval; every layer on the serve path is per-row, so the
+    sharded scores equal single-device ones.  The batch must divide by the
+    mesh size (use make_bucketed_server's padding or pad rows with a zero
+    mask).  Pallas auto-dispatch stays off under a multi-device mesh
+    (ops/pallas/dispatch.py GSPMD-safety); XLA partitions the program."""
+    if mesh is None:
+        @jax.jit
+        def serve(streams, mask):
+            out = adenet.adenet_forward(params, config, list(streams), mask,
+                                        train=False)
+            if out.ndim == 3 and vote:
+                # masked: padded frames must not vote (see
+                # make_trimodal_server)
+                return majority_voting_layer_masked(out, mask,
+                                                    config.output_classes)
+            return out
+
+        return serve
+
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    axis = mesh.axis_names[0]
+    batch_sh = NamedSharding(mesh, P(axis))
+    replicated = NamedSharding(mesh, P())
+
+    @functools.partial(
+        jax.jit,
+        in_shardings=(jax.tree_util.tree_map(lambda _: replicated, params),
+                      None, batch_sh),
+        out_shardings=batch_sh)
+    def sharded(p, streams, mask):
+        out = adenet.adenet_forward(p, config, list(streams), mask,
+                                    train=False)
         if out.ndim == 3 and vote:
-            # masked: padded frames must not vote (see make_trimodal_server)
             return majority_voting_layer_masked(out, mask,
                                                 config.output_classes)
         return out
+
+    n_dev = mesh.devices.size
+
+    def serve(streams, mask):
+        B = streams[0].shape[0]
+        if B % n_dev:
+            raise ValueError(f"batch {B} must divide the mesh size {n_dev} "
+                             "(pad rows with a zero mask)")
+        streams = [jax.device_put(jnp.asarray(s, jnp.float32), batch_sh)
+                   for s in streams]
+        mask = jax.device_put(jnp.asarray(mask, jnp.float32), batch_sh)
+        return sharded(params, streams, mask)
 
     return serve
 
