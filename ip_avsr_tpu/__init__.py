@@ -10,8 +10,12 @@ A from-scratch JAX/XLA/Pallas rebuild of the capabilities of the reference
   per-timestep softmax with majority voting
 * a trainer with GL/PQ early stopping, classification-rate eval and confusion
   matrices, plus checkpoint/resume
-* TPU-first execution: jit/pjit over a device mesh for data parallelism,
-  fused FIR delta kernels, MXU-batched encoder matmuls, static-shape batching.
+* TPU-first execution: jit/pjit over a device mesh for data/tensor/sequence
+  parallelism, Pallas LSTM + delta kernels, MXU-batched encoder matmuls,
+  static-shape batching
+* production serving: pipelined/micro-batched batch-1 serving, bucketed and
+  mesh-sharded bulk servers, streaming (online) sessions with exact batch
+  parity, and self-contained jax.export deployment artifacts (``export.py``)
 
 The reference is a blueprint for behavior, not for architecture: everything
 here is functional JAX (pure functions over parameter pytrees), compiled by
