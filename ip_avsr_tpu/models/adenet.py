@@ -113,6 +113,10 @@ class AdeNetConfig:
     # and gradients stay f32 (ops/lstm.lstm_forward residual_dtype).
     # Gradients are perturbed at ~bf16 epsilon — tested for gradient
     # tolerance and optimizer-trajectory argmax stability.  None = f32.
+    # Capacity note (compiler-measured, docs/DESIGN.md): peak temp memory
+    # is dominated by transient f32 buffers this flag doesn't touch, so
+    # alone it buys only ~0-5% peak; compose with lstm_remat (~18-24%
+    # together) or sequence_parallel for real long-T capacity.
     lstm_residual_dtype: Optional[str] = None
 
     def stream_lstm_size(self, spec: StreamSpec) -> int:
