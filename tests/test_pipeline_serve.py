@@ -369,3 +369,42 @@ def test_mesh_sharded_server_matches_single_device():
 
     with pytest.raises(ValueError, match="divide"):
         sharded([x[:5]], mask[:5])
+
+
+def test_pipelined_server_property_random_streams():
+    """Hypothesis net over the pipelined surface: random request sequences
+    (row counts, T values, vote on/off) x random (depth, batch) must equal
+    per-request serving, in order, regardless of how the stage/block
+    boundaries fall."""
+    from hypothesis import given, settings, strategies as st
+
+    cfg = zoo.lstm_classifier_majority_vote(6, lstm_size=6, output_classes=3)
+    params = adenet.init_adenet_params(jax.random.PRNGKey(0), cfg)
+    servers = {v: serve.make_server(params, cfg, vote=v)
+               for v in (True, False)}
+
+    @settings(max_examples=12, deadline=None)
+    @given(spec=st.lists(st.tuples(st.integers(1, 3),        # rows
+                                   st.sampled_from([5, 8])),  # T
+                         min_size=1, max_size=12),
+           depth=st.integers(1, 6),
+           batch=st.integers(1, 6),
+           vote=st.booleans())
+    def run(spec, depth, batch, vote):
+        rng = np.random.RandomState(len(spec) * 7 + depth)
+        reqs = []
+        for rows, T in spec:
+            x = rng.randn(rows, T, 6).astype(np.float32)
+            m = (np.arange(T)[None] < rng.randint(2, T + 1, (rows, 1))
+                 ).astype(np.float32)
+            reqs.append(([x], m))
+        sync = servers[vote]
+        want = [np.asarray(sync([jnp.asarray(s) for s in stx],
+                                jnp.asarray(m))) for stx, m in reqs]
+        pipe = serve.PipelinedServer(serve_fn=sync, depth=depth, batch=batch)
+        got = list(pipe.map(iter(reqs)))
+        assert [g.shape for g in got] == [w.shape for w in want]
+        for g, w in zip(got, want):
+            np.testing.assert_allclose(g, w, rtol=1e-5, atol=1e-6)
+
+    run()
