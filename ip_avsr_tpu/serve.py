@@ -382,6 +382,10 @@ class StreamingSession:
     caller's concern, as with every server here: feed the features the
     model was trained on.
 
+    ``batch`` > 1 streams B utterances in lockstep (every fed frame is
+    valid for every row — e.g. synchronized crops/views of one recording);
+    independently-ending utterances belong in separate sessions.
+
     Chunks of any size may be fed; internally sizes are bucketed to powers
     of two (zero-mask padding), so the compile set stays logarithmic.
 
