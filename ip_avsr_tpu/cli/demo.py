@@ -55,6 +55,10 @@ def main(argv=None):
                          "model — --model is ignored; the artifact's baked "
                          "weights and traced program do the serving")
     args = ap.parse_args(argv)
+    if args.streaming and args.pipelined:
+        ap.error("--streaming and --pipelined are mutually exclusive "
+                 "serving modes (streaming is per-frame online; pipelined "
+                 "is batched request/response)")
 
     cp = config_lib.load_config(args.config)
     stream_cfgs = config_lib.parse_streams(cp)
@@ -118,12 +122,15 @@ def main(argv=None):
         # final vote equals the batch server's
         from ip_avsr_tpu import serve as serve_lib
 
-        def new_session():
-            if args.artifact:
-                from ip_avsr_tpu import export as export_lib
+        if args.artifact:
+            # deserialize ONCE; sessions revive from the cached programs
+            from ip_avsr_tpu import export as export_lib
 
-                return export_lib.load_streaming_session(args.artifact)
-            return serve_lib.StreamingSession(params, cfg)
+            loaded = export_lib.load_streaming_artifact(args.artifact)
+            new_session = loaded.new_session
+        else:
+            def new_session():
+                return serve_lib.StreamingSession(params, cfg)
 
         for i in range(n):
             T = int(lens[i])

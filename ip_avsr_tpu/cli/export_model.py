@@ -115,7 +115,12 @@ def main(argv=None):
             mask = np.ones((B, T), np.float32)
             got = np.asarray(srv(streams, mask))
             want = np.asarray(live(streams, mask))
-        np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+        # on-chip, the session's bucketed chunk shapes round differently
+        # from the one-shot shapes at the TPU's default bf16 matmul
+        # precision (~1.5e-4 on probabilities — see the verify notes), so
+        # the streaming check needs the measured tolerance
+        atol = 5e-4 if args.streaming else 1e-4
+        np.testing.assert_allclose(got, want, rtol=1e-4, atol=atol)
         print(f"check OK: artifact matches the live server "
               f"(max |diff| {np.abs(got - want).max():.2e})")
 

@@ -305,6 +305,9 @@ def save_streaming_artifact(
             "output_classes": int(config.output_classes),
             "stream_dims": [s.input_dim for s in config.streams],
             "n_state_leaves": len(leaves),
+            # loud-error guard for structural drift between save and load
+            # (the loader rebuilds the treedef from parallel code)
+            "state_treedef": str(treedef),
             "platforms": list(platforms),
         },
         "entries": [{"name": k, "blob": f"entries/{k}.jaxexport"}
@@ -317,15 +320,41 @@ def save_streaming_artifact(
         z.writestr("state0.npz", state_buf.getvalue())
 
 
-def load_streaming_session(path: str):
-    """Revive a :func:`save_streaming_artifact` file as a live
-    :class:`ip_avsr_tpu.serve.StreamingSession` (fresh initial state — one
-    loaded artifact can be reopened per utterance via repeated calls)."""
+class StreamingArtifact:
+    """A loaded streaming artifact: call :meth:`new_session` per utterance.
+
+    Deserialize ONCE, open many sessions — each session reuses the same
+    deserialized (and, after first use, compiled) prep/advance programs,
+    so per-utterance startup is just fresh bookkeeping, not a zip read +
+    re-deserialize + re-compile."""
+
+    def __init__(self, meta, exported, state0):
+        self.meta = meta
+        self.labels = meta.get("labels")
+        self._s = meta["streaming"]
+        self._exported = exported
+        self._state0 = state0
+        self._prep = [exported[f"prep_{i}"].call
+                      for i in range(len(self._s["stream_dims"]))]
+        self._advance = exported["advance"].call
+
+    def new_session(self):
+        from ip_avsr_tpu.serve import StreamingSession
+
+        s = self._s
+        return StreamingSession._from_parts(
+            prep=self._prep, advance=self._advance, state0=self._state0,
+            window=s["window"], lookahead=s["lookahead"],
+            use_delta=s["use_delta"], output_mode=s["output_mode"],
+            output_classes=s["output_classes"], batch=s["batch"])
+
+
+def load_streaming_artifact(path: str) -> StreamingArtifact:
+    """Load a :func:`save_streaming_artifact` file; open per-utterance
+    sessions with :meth:`StreamingArtifact.new_session`."""
     import io
 
     import numpy as np
-
-    from ip_avsr_tpu.serve import StreamingSession
 
     with zipfile.ZipFile(path) as z:
         meta = json.loads(z.read("meta.json").decode("utf-8"))
@@ -339,19 +368,27 @@ def load_streaming_session(path: str):
                   for i in range(s["n_state_leaves"])]
 
     # rebuild the state treedef from the config (same structure
-    # streaming_init_state produces — the advance program was traced with it)
+    # streaming_init_state produces — the advance program was traced with
+    # it); the saved treedef string turns any future structural drift into
+    # a loud error instead of silently scrambled state
     config = config_from_dict(meta["config"])
     treedef = jax.tree_util.tree_structure(
         _streaming_state_structure(config))
+    if s.get("state_treedef") and s["state_treedef"] != str(treedef):
+        raise ValueError(
+            "state structure mismatch: the artifact was saved with "
+            f"{s['state_treedef']} but this code rebuilds {treedef} — "
+            "re-export the artifact with this version")
     state0 = jax.tree_util.tree_unflatten(treedef, leaves)
+    return StreamingArtifact(meta, exported, state0)
 
-    prep = [exported[f"prep_{i}"].call for i in range(len(s["stream_dims"]))]
-    advance = exported["advance"].call
-    return StreamingSession._from_parts(
-        prep=prep, advance=advance, state0=state0,
-        window=s["window"], lookahead=s["lookahead"],
-        use_delta=s["use_delta"], output_mode=s["output_mode"],
-        output_classes=s["output_classes"], batch=s["batch"])
+
+def load_streaming_session(path: str):
+    """Revive a :func:`save_streaming_artifact` file as one live
+    :class:`ip_avsr_tpu.serve.StreamingSession`.  For many utterances,
+    :func:`load_streaming_artifact` once + ``new_session()`` per utterance
+    avoids re-deserializing the programs."""
+    return load_streaming_artifact(path).new_session()
 
 
 def _streaming_state_structure(config: adenet.AdeNetConfig):

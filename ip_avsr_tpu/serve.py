@@ -101,12 +101,15 @@ def make_server(params: dict, config: adenet.AdeNetConfig, vote: bool = True,
         return out
 
     n_dev = mesh.devices.size
+    # commit the weights to the replicated sharding ONCE — otherwise every
+    # serve() call re-uploads the whole parameter set to all devices
+    params = jax.device_put(params, replicated)
 
     def serve(streams, mask):
         B = streams[0].shape[0]
         if B % n_dev:
-            raise ValueError(f"batch {B} must divide the mesh size {n_dev} "
-                             "(pad rows with a zero mask)")
+            raise ValueError(f"batch {B} must be divisible by the mesh "
+                             f"size {n_dev} (pad rows with a zero mask)")
         streams = [jax.device_put(jnp.asarray(s, jnp.float32), batch_sh)
                    for s in streams]
         mask = jax.device_put(jnp.asarray(mask, jnp.float32), batch_sh)
@@ -413,7 +416,8 @@ class StreamingSession:
         self._out_mode = config.output_mode
         self._C = int(config.output_classes)
         self._state = adenet.streaming_init_state(params, config, self._B)
-        self._enc = []      # per stream: (B, S, E) float32 encoded frames
+        self._enc = []      # per stream: retained tail of encoded frames
+        self._base = 0      # absolute frame index of _enc[i][:, 0]
         self._emitted = 0   # frames whose scores have been yielded
         self._votes = None  # (B, C) int64 running argmax counts
         self._last_probs = None
@@ -464,6 +468,7 @@ class StreamingSession:
         self._C = int(output_classes)
         self._state = state0
         self._enc = []
+        self._base = 0
         self._emitted = 0
         self._votes = None
         self._last_probs = None
@@ -504,21 +509,26 @@ class StreamingSession:
     def _features(self, stream_idx, e, f, final):
         """Exact [x, delta, accel] features for frames [e, f) of one stream
         from the encoded buffer (see the class docstring for the boundary
-        semantics)."""
+        semantics).  Indices are ABSOLUTE frame positions; the buffer holds
+        only the retained tail (frames >= self._base — older frames are
+        evicted by _emit once outside every future delta context)."""
         import numpy as np
 
         x = self._enc[stream_idx]
+        base = self._base
         if not self._use_delta[stream_idx]:
-            return x[:, e:f]
+            return x[:, e - base : f - base]
         W = self._W
-        S = x.shape[1]
         d_start = max(e - W, 0)
         x_lo = max(d_start - W, 0)
         left_x = W - (d_start - x_lo)
         parts = []
         if left_x:
+            # true start-of-utterance edge pad; eviction keeps base == 0
+            # until e >= 2W, at which point left pads can no longer occur
+            assert base == 0, (base, e)
             parts.append(np.repeat(x[:, :1], left_x, axis=1))
-        parts.append(x[:, x_lo:])
+        parts.append(x[:, x_lo - base:])
         if final:
             parts.append(np.repeat(x[:, -1:], W, axis=1))
         ctx = np.concatenate(parts, axis=1)        # spans [d_start - W, ...)
@@ -533,8 +543,8 @@ class StreamingSession:
         d_cov = np.concatenate(parts, axis=1)      # spans [e - W, f + W)
         a = _np_delta_fir(d_cov, W)                # a over [e, f)
         n = f - e
-        return np.concatenate([x[:, e:f], d_cov[:, W : W + n], a[:, :n]],
-                              axis=-1)
+        return np.concatenate([x[:, e - base : f - base],
+                               d_cov[:, W : W + n], a[:, :n]], axis=-1)
 
     def _emit(self, f, final=False):
         """Run the head over frames [self._emitted, f) and yield per-frame
@@ -555,6 +565,14 @@ class StreamingSession:
         probs, self._state = self._advance(tuple(feats), mask, self._state)
         probs = np.asarray(probs)[:, :n]
         self._emitted = f
+        # evict frames no future computation can read (the delta context
+        # reaches back at most 2W before the emit point) — keeps the buffer
+        # and the per-feed concatenate O(2W + chunk) instead of O(T)
+        keep_from = self._emitted - (2 * self._W if self._L else 0)
+        if keep_from > self._base:
+            drop = keep_from - self._base
+            self._enc = [x[:, drop:] for x in self._enc]
+            self._base = keep_from
         if self._votes is None:
             self._votes = np.zeros((self._B, self._C), np.int64)
         for t in range(n):
@@ -586,7 +604,7 @@ class StreamingSession:
 
             self._enc = [np.concatenate([b, e], axis=1)
                          for b, e in zip(self._enc, enc)]
-        S = self._enc[0].shape[1]
+        S = self._base + self._enc[0].shape[1]
         return list(self._emit(S - self._L))
 
     def finalize(self):
@@ -601,7 +619,8 @@ class StreamingSession:
             raise RuntimeError("session is finalized")
         if not self._enc:
             raise RuntimeError("no frames were fed")
-        tail = list(self._emit(self._enc[0].shape[1], final=True))
+        tail = list(self._emit(self._base + self._enc[0].shape[1],
+                               final=True))
         tail = (np.stack(tail, axis=1) if tail
                 else np.zeros((self._B, 0, self._C), np.float32))
         self._finalized = True

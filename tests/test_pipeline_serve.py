@@ -367,7 +367,7 @@ def test_mesh_sharded_server_matches_single_device():
     shard_rows = {s.data.shape[0] for s in got.addressable_shards}
     assert shard_rows == {B // m.devices.size}
 
-    with pytest.raises(ValueError, match="divide"):
+    with pytest.raises(ValueError, match="divisible"):
         sharded([x[:5]], mask[:5])
 
 

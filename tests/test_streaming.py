@@ -170,6 +170,28 @@ def test_streaming_api_misuse():
         sess2.feed([x, x])
 
 
+def test_streaming_buffer_is_bounded():
+    """Long-running sessions must not accumulate the whole utterance: the
+    encoded buffer retains at most the 2W delta context plus the pending
+    lookahead (review finding: O(T^2) host copying / unbounded memory)."""
+    cfg = _streamable_cfg()
+    params = adenet.init_adenet_params(jax.random.PRNGKey(0), cfg)
+    live = make_server(params, cfg, vote=False)
+    T = 200
+    x = np.random.RandomState(9).randn(1, T, 12).astype(np.float32)
+    ref = np.asarray(live([x], np.ones((1, T), np.float32)))
+
+    sess = StreamingSession(params, cfg)
+    got = []
+    for t in range(T):
+        got += sess.feed([x[:, t:t + 1]])
+        W = cfg.window
+        assert sess._enc[0].shape[1] <= 4 * W + 2, sess._enc[0].shape
+    tail, _ = sess.finalize()
+    emitted = np.concatenate([np.stack(got, axis=1), tail], axis=1)
+    np.testing.assert_allclose(emitted, ref, atol=1e-6)
+
+
 def test_feed_is_eager():
     """feed() must buffer its frames even when the caller ignores the
     returned scores (a lazy generator would silently drop the input)."""
