@@ -260,9 +260,11 @@ class PipelinedServer:
             yield from self._unpack(pending.popleft())
 
 
-def make_bucketed_server(params: dict, config: adenet.AdeNetConfig,
+def make_bucketed_server(params: dict = None,
+                         config: adenet.AdeNetConfig = None,
                          batch_buckets=(1, 8, 32), time_buckets=(32, 64),
-                         vote: bool = True, allow_time_truncation: bool = False):
+                         vote: bool = True, allow_time_truncation: bool = False,
+                         serve_fn=None, output_classes: int = None):
     """Production server for ARBITRARY request sizes under static XLA shapes.
 
     XLA compiles one program per shape; a naive server would recompile for
@@ -279,6 +281,12 @@ def make_bucketed_server(params: dict, config: adenet.AdeNetConfig,
 
     Returns ``serve(streams, lengths) -> (B, C) scores`` where ``streams[i]``
     is (B, T_actual, D_i) and ``lengths`` the per-utterance frame counts.
+
+    ``serve_fn`` substitutes any per-step ``(streams, mask) -> (B, T, C)``
+    program for the default live model — e.g. a deserialized deployment
+    artifact (``export.load_server`` of a vote=False export), giving an
+    artifact the same bounded-compile production wrapper; pass
+    ``output_classes`` with it (no config to read it from).
     """
     import numpy as np
 
@@ -286,11 +294,12 @@ def make_bucketed_server(params: dict, config: adenet.AdeNetConfig,
     time_buckets = sorted(set(int(t) for t in time_buckets))
     # vote inside the bucketed server must be MASKED (padded frames cannot
     # cast votes, or T-bucket padding would change the scores)
-    inner = make_server(params, config, vote=False)
+    inner = serve_fn or make_server(params, config, vote=False)
+    n_classes = output_classes if output_classes is not None else config.output_classes
 
     @jax.jit
     def vote_fn(out, mask):
-        return majority_voting_layer_masked(out, mask, config.output_classes)
+        return majority_voting_layer_masked(out, mask, n_classes)
 
     def _bucket(v, buckets):
         for b in buckets:

@@ -279,3 +279,28 @@ def test_streaming_artifact_loader_mismatch(tmp_path):
     export_lib.save_streaming_artifact(str(stream_path), sparams, scfg)
     with pytest.raises(ValueError, match="load_streaming_session"):
         export_lib.load_server(str(stream_path))
+
+
+def test_bucketed_server_wraps_artifact(tmp_path):
+    """make_bucketed_server(serve_fn=artifact) gives a deployment artifact
+    the bounded-compile production wrapper; scores equal the live bucketed
+    server for ragged request sizes."""
+    cfg, params = _deltanet()
+    path = tmp_path / "ps.ipax"
+    export_lib.save_artifact(str(path), params, cfg, vote=False)
+    art = export_lib.load_server(str(path))
+
+    live = serve_mod.make_bucketed_server(params, cfg,
+                                          batch_buckets=(2, 4),
+                                          time_buckets=(8, 16))
+    wrapped = serve_mod.make_bucketed_server(
+        serve_fn=art, output_classes=cfg.output_classes,
+        batch_buckets=(2, 4), time_buckets=(8, 16))
+
+    rng = np.random.RandomState(0)
+    for B, T in ((1, 5), (3, 11), (6, 8)):
+        x = rng.randn(B, T, 12).astype(np.float32)
+        lens = rng.randint(3, T + 1, B)
+        np.testing.assert_allclose(np.asarray(wrapped([x], lens)),
+                                   np.asarray(live([x], lens)),
+                                   rtol=1e-6, atol=1e-7)
