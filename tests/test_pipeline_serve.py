@@ -408,3 +408,32 @@ def test_pipelined_server_property_random_streams():
             np.testing.assert_allclose(g, w, rtol=1e-5, atol=1e-6)
 
     run()
+
+
+def test_bucketed_server_property_random_sizes():
+    """Hypothesis net: random bucket ladders x ragged request sizes must
+    equal the unbucketed server row-for-row (bucket padding invisible)."""
+    from hypothesis import given, settings, strategies as st
+
+    cfg = zoo.lstm_classifier_majority_vote(6, lstm_size=6, output_classes=3)
+    params = adenet.init_adenet_params(jax.random.PRNGKey(0), cfg)
+    plain = serve.make_server(params, cfg)
+
+    @settings(max_examples=10, deadline=None)
+    @given(bbs=st.lists(st.integers(1, 6), min_size=1, max_size=3),
+           tbs=st.lists(st.integers(6, 12), min_size=1, max_size=2),
+           B=st.integers(1, 9), T=st.integers(2, 12), seed=st.integers(0, 99))
+    def run(bbs, tbs, B, T, seed):
+        if T > max(tbs):
+            T = max(tbs)
+        srv = serve.make_bucketed_server(params, cfg, batch_buckets=bbs,
+                                         time_buckets=tbs)
+        rng = np.random.RandomState(seed)
+        x = rng.randn(B, T, 6).astype(np.float32)
+        lens = rng.randint(1, T + 1, B)
+        mask = (np.arange(T)[None] < lens[:, None]).astype(np.float32)
+        want = np.asarray(plain([jnp.asarray(x)], jnp.asarray(mask)))
+        got = np.asarray(srv([x], lens))
+        np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+
+    run()
