@@ -20,3 +20,13 @@ multichip:
 
 smoke:
 	python -m ip_avsr_tpu.cli.nstream --config configs/synthetic_1stream.ini --synthetic 60
+
+notebook:
+	python scripts/run_notebook.py
+
+coverage:
+	COV_OUT=/tmp/cov.json python -m pytest tests/ -q -p scripts.coverage
+	python scripts/coverage.py report /tmp/cov.json
+
+e2e:
+	bash scripts/e2e_workflow.sh /tmp/ipavsr_e2e
