@@ -155,6 +155,7 @@ def save_artifact(
     platforms: Optional[Sequence[str]] = None,
     labels: Optional[Sequence[str]] = None,
     trimodal: Optional[dict] = None,
+    min_time: Optional[int] = None,
 ) -> None:
     """Export the serve program and write the ``.ipax`` zip artifact.
 
@@ -162,7 +163,8 @@ def save_artifact(
     host can map argmax indices to names without the training config.
     """
     blob = export_server(params, config, vote=vote, batch=batch, time=time,
-                         platforms=platforms, trimodal=trimodal)
+                         platforms=platforms, trimodal=trimodal,
+                         min_time=min_time)
     symbolic = batch is None or time is None
     if trimodal is not None:
         hw = int(trimodal["image_shape"][0]) * int(trimodal["image_shape"][1])
