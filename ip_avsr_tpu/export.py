@@ -214,6 +214,10 @@ class ExportedServer:
         self.output_classes = entry["output_classes"]
         self.labels = meta.get("labels")
         self._exported = exported
+        # jit the exported call: Exported.call re-traces its calling
+        # convention on every invocation (~1.7 ms/call measured); under jit
+        # it compiles once per concrete shape like any served program
+        self._call = jax.jit(exported.call)
 
     @property
     def config(self) -> adenet.AdeNetConfig:
@@ -226,7 +230,7 @@ class ExportedServer:
             if raw.shape[-1] != self.stream_dims[0]:
                 raise ValueError(f"raw pixel dim {raw.shape[-1]} != "
                                  f"exported {self.stream_dims[0]}")
-            return self._exported.call(raw, mask)
+            return self._call(raw, mask)
         if len(streams) != len(self.stream_dims):
             raise ValueError(f"artifact expects {len(self.stream_dims)} "
                              f"streams, got {len(streams)}")
@@ -234,7 +238,7 @@ class ExportedServer:
         for s, d in zip(streams, self.stream_dims):
             if s.shape[-1] != d:
                 raise ValueError(f"stream dim {s.shape[-1]} != exported {d}")
-        return self._exported.call(streams, mask)
+        return self._call(streams, mask)
 
 
 def save_streaming_artifact(
@@ -336,9 +340,11 @@ class StreamingArtifact:
         self._s = meta["streaming"]
         self._exported = exported
         self._state0 = state0
-        self._prep = [exported[f"prep_{i}"].call
+        # jit the exported calls (see ExportedServer: bare Exported.call
+        # re-traces per invocation); shared across sessions of this artifact
+        self._prep = [jax.jit(exported[f"prep_{i}"].call)
                       for i in range(len(self._s["stream_dims"]))]
-        self._advance = exported["advance"].call
+        self._advance = jax.jit(exported["advance"].call)
 
     def new_session(self):
         from ip_avsr_tpu.serve import StreamingSession
