@@ -51,6 +51,10 @@ def main(argv=None):
     ap.add_argument("--platforms", default=None,
                     help="comma-separated lowering platforms (default: "
                          "cpu,tpu when symbolic, native when pinned)")
+    ap.add_argument("--weights_dtype", default=None,
+                    help="bake the weights in this dtype (bfloat16 roughly "
+                         "halves the artifact; the recommended inference "
+                         "dtype — predictions argmax-stable vs f32)")
     ap.add_argument("--classnames", default=None,
                     help="comma-separated class labels stored in meta.json")
     ap.add_argument("--check", action="store_true",
@@ -82,7 +86,7 @@ def main(argv=None):
         export_lib.save_artifact(
             args.out, params, cfg, vote=not args.per_step,
             batch=args.batch, time=args.time, platforms=platforms,
-            labels=labels)
+            labels=labels, weights_dtype=args.weights_dtype)
     import os
 
     print(f"wrote {args.out} ({os.path.getsize(args.out)} bytes, "
@@ -120,6 +124,8 @@ def main(argv=None):
         # precision (~1.5e-4 on probabilities — see the verify notes), so
         # the streaming check needs the measured tolerance
         atol = 5e-4 if args.streaming else 1e-4
+        if args.weights_dtype:
+            atol = max(atol, 5e-2)  # bf16-weight rounding tolerance
         np.testing.assert_allclose(got, want, rtol=1e-4, atol=atol)
         print(f"check OK: artifact matches the live server "
               f"(max |diff| {np.abs(got - want).max():.2e})")

@@ -80,6 +80,7 @@ def export_server(
     platforms: Optional[Sequence[str]] = None,
     min_time: Optional[int] = None,
     trimodal: Optional[dict] = None,
+    weights_dtype=None,
 ) -> bytes:
     """Serialize the generic preprocessed-streams server to one blob.
 
@@ -102,6 +103,18 @@ def export_server(
     from ip_avsr_tpu.ops.pallas import dispatch
     from ip_avsr_tpu.serve import make_server, make_trimodal_server
 
+    if weights_dtype is not None:
+        # deployment size/bandwidth lever: bake the baked-in weights in a
+        # narrower dtype (bf16 halves the artifact and the weight HBM
+        # traffic; it is the recommended inference dtype — the bench's
+        # forward metric runs bf16 weights, and predictions are pinned
+        # stable vs f32).  Compute follows the model's matmul/activation
+        # dtypes as usual.
+        wd = jnp.dtype(weights_dtype)
+        params = jax.tree_util.tree_map(
+            lambda x: x.astype(wd) if (hasattr(x, "dtype")
+                                       and x.dtype == jnp.float32) else x,
+            params)
     if trimodal is not None:
         serve = make_trimodal_server(params, config, vote=vote, **trimodal)
     else:
@@ -156,15 +169,18 @@ def save_artifact(
     labels: Optional[Sequence[str]] = None,
     trimodal: Optional[dict] = None,
     min_time: Optional[int] = None,
+    weights_dtype=None,
 ) -> None:
     """Export the serve program and write the ``.ipax`` zip artifact.
 
     ``labels`` (optional class names) ride along in meta.json so a serving
     host can map argmax indices to names without the training config.
+    ``weights_dtype="bfloat16"`` halves the artifact (and the serving
+    weight traffic) at bf16 prediction tolerance.
     """
     blob = export_server(params, config, vote=vote, batch=batch, time=time,
                          platforms=platforms, trimodal=trimodal,
-                         min_time=min_time)
+                         min_time=min_time, weights_dtype=weights_dtype)
     symbolic = batch is None or time is None
     if trimodal is not None:
         hw = int(trimodal["image_shape"][0]) * int(trimodal["image_shape"][1])
@@ -188,6 +204,8 @@ def save_artifact(
                           else (["cpu", "tpu"] if symbolic else None)),
             "stream_dims": stream_dims,
             "output_classes": config.output_classes,
+            "weights_dtype": (str(jnp.dtype(weights_dtype))
+                              if weights_dtype is not None else "float32"),
         }],
     }
     with zipfile.ZipFile(path, "w", zipfile.ZIP_DEFLATED) as z:
