@@ -81,7 +81,7 @@ def main(argv=None):
     if args.streaming:
         export_lib.save_streaming_artifact(
             args.out, params, cfg, batch=args.batch or 1, labels=labels,
-            platforms=platforms)
+            platforms=platforms, weights_dtype=args.weights_dtype)
     else:
         export_lib.save_artifact(
             args.out, params, cfg, vote=not args.per_step,

@@ -267,6 +267,7 @@ def save_streaming_artifact(
     batch: int = 1,
     platforms: Optional[Sequence[str]] = None,
     labels: Optional[Sequence[str]] = None,
+    weights_dtype=None,
 ) -> None:
     """Export a STREAMING session (serve.StreamingSession) as one artifact.
 
@@ -283,6 +284,12 @@ def save_streaming_artifact(
     from ip_avsr_tpu.ops.pallas import dispatch
     from ip_avsr_tpu.serve import StreamingSession
 
+    if weights_dtype is not None:
+        wd = jnp.dtype(weights_dtype)
+        params = jax.tree_util.tree_map(
+            lambda x: x.astype(wd) if (hasattr(x, "dtype")
+                                       and x.dtype == jnp.float32) else x,
+            params)
     sess = StreamingSession(params, config, batch=batch)
     if platforms is None:
         platforms = ("cpu", "tpu")
