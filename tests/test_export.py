@@ -335,3 +335,40 @@ def test_weights_dtype_bf16_artifact(tmp_path):
 
     meta = json.loads(zipfile.ZipFile(str(bf16p)).read("meta.json"))
     assert meta["entries"][0]["weights_dtype"] == "bfloat16"
+
+
+def test_artifact_loads_with_plain_jax_no_package(tmp_path):
+    """The deployment claim pinned for real: a fresh process that NEVER
+    imports ip_avsr_tpu deserializes the blob with plain jax + zipfile and
+    serves (the package's loader is sugar, not a dependency)."""
+    import json
+    import subprocess
+    import sys
+
+    cfg, params = _deltanet()
+    path = tmp_path / "m.ipax"
+    export_lib.save_artifact(str(path), params, cfg)
+    rng = np.random.RandomState(0)
+    x = rng.randn(2, 9, 12).astype(np.float32)
+    m = np.ones((2, 9), np.float32)
+    want = np.asarray(export_lib.load_server(str(path))([x], m))
+    np.save(tmp_path / "x.npy", x)
+
+    script = f"""
+import json, zipfile, sys
+import numpy as np
+import jax
+jax.config.update("jax_platforms", "cpu")
+assert "ip_avsr_tpu" not in sys.modules
+z = zipfile.ZipFile({str(path)!r})
+meta = json.loads(z.read("meta.json"))
+fn = jax.export.deserialize(z.read(meta["entries"][0]["blob"]))
+x = np.load({str(tmp_path / 'x.npy')!r})
+out = fn.call([x], np.ones((2, 9), np.float32))
+assert "ip_avsr_tpu" not in sys.modules  # nothing imported it transitively
+np.save({str(tmp_path / 'out.npy')!r}, np.asarray(out))
+"""
+    subprocess.run([sys.executable, "-c", script], check=True,
+                   cwd=str(tmp_path))  # cwd outside the repo: no accidental import path
+    got = np.load(tmp_path / "out.npy")
+    np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-7)
