@@ -59,6 +59,23 @@ CONFIGS = {
     "nodelta": lambda: zoo.adenet_v2_nodelta(
         12, 8, (ENC_NL, ENC_SH), (ENC_NL, ENC_SH), lstm_size=5,
         output_classes=6),
+    # r4 additions: the forward-only aggregator (the streaming head path)
+    # with a NON-LSTM passthrough stream feeding concat fusion, and the
+    # avnet composer (rectified encoders, no-encoder substream, peepholes)
+    "fwd_agg_passthru": lambda: _with(
+        zoo.adenet_v2(12, 6, ENC_SH, ENC_NL, fusiontype="concat", **K),
+        agg_bidirectional=False,
+        streams=tuple([
+            zoo.adenet_v2(12, 6, ENC_SH, ENC_NL, **K).streams[0],
+            dataclasses.replace(
+                zoo.adenet_v2(12, 6, ENC_SH, ENC_NL, **K).streams[1],
+                use_lstm=False),
+        ])),
+    "avnet": lambda: __import__(
+        "ip_avsr_tpu.models.avnet", fromlist=["avnet_config"]).avnet_config(
+            (12, 8), encoder_shapes=ENC_SH,
+            encoder_nonlinearities=ENC_NL, lstm_size=5, window=3,
+            output_classes=6, no_encoder_for=("s2",)),
 }
 
 
