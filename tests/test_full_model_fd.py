@@ -217,7 +217,38 @@ def _adadelta_np(params, grads, accu, dacc, lr=1.0, rho=0.95, eps=1e-6):
     return pick(0), pick(1), pick(2)
 
 
-@pytest.mark.parametrize("optname", ["adam", "adadelta"])
+def _momentum_np(params, grads, vel, lr, mu=0.9):
+    """Independent NumPy momentum (lasagne.updates.momentum)."""
+
+    def upd(p, g, v):
+        v_t = mu * v - lr * g
+        return p + v_t, v_t
+
+    out = jax.tree_util.tree_map(upd, params, grads, vel)
+    pick = lambda i: jax.tree_util.tree_map(  # noqa: E731
+        lambda x: x[i], out, is_leaf=lambda x: isinstance(x, tuple))
+    return pick(0), pick(1)
+
+
+def _adam_vlr_np(params, grads, m, v, t, lr_map, b1=0.9, b2=0.999, eps=1e-8):
+    """Independent NumPy adam with a per-parameter lr map
+    (custom/updates.py:35-99 — the reference's variable-learning-rate
+    adam)."""
+    corr = np.sqrt(1.0 - b2 ** t) / (1.0 - b1 ** t)
+
+    def upd(p, g, m_, v_, lr):
+        m_t = b1 * m_ + (1.0 - b1) * g
+        v_t = b2 * v_ + (1.0 - b2) * g * g
+        return p - (lr * corr) * m_t / (np.sqrt(v_t) + eps), m_t, v_t
+
+    out = jax.tree_util.tree_map(upd, params, grads, m, v, lr_map)
+    pick = lambda i: jax.tree_util.tree_map(  # noqa: E731
+        lambda x: x[i], out, is_leaf=lambda x: isinstance(x, tuple))
+    return pick(0), pick(1), pick(2)
+
+
+@pytest.mark.parametrize("optname", ["adam", "adadelta", "momentum",
+                                     "adam_vlr"])
 def test_optimizer_trajectory_vs_independent_numpy(optname):
     """N update steps applied by an independent NumPy loop at f64 must track
     the Trainer's compiled f32 train_step trajectory, and the NumPy-updated
@@ -236,9 +267,13 @@ def test_optimizer_trajectory_vs_independent_numpy(optname):
     lr = 0.05 if optname == "adadelta" else 0.01
     n_steps = 5
 
+    lr_map_config = {"output": lr * 2} if optname == "adam_vlr" else None
     trainer = Trainer(cfg, TrainOptions(optimizer=optname, learning_rate=lr,
+                                        lr_map_config=lr_map_config,
                                         log_fn=lambda *_: None))
     t_params = jax.tree_util.tree_map(jnp.array, params32)
+    if optname == "adam_vlr":
+        trainer._finalize_optimizer(t_params)
     t_state = trainer.optimizer.init(t_params)
     rng0 = jax.random.PRNGKey(0)
     lr_arr = jnp.asarray(lr, jnp.float32)
@@ -272,12 +307,22 @@ def test_optimizer_trajectory_vs_independent_numpy(optname):
         n_params = _np_tree(params32)
         zeros = jax.tree_util.tree_map(np.zeros_like, n_params)
         s1, s2 = zeros, jax.tree_util.tree_map(np.zeros_like, n_params)
+        if optname == "adam_vlr":
+            from ip_avsr_tpu.train.optimizers import generate_lr_map
+
+            lr_map = jax.tree_util.tree_map(
+                float, generate_lr_map(n_params, lr_map_config, lr))
         numpy_losses = []
         for step in range(1, n_steps + 1):
             numpy_losses.append(np_loss(n_params))
             g = _np_tree(grad_fn(jax.tree_util.tree_map(jnp.asarray, n_params)))
             if optname == "adam":
                 n_params, s1, s2 = _adam_np(n_params, g, s1, s2, step, lr)
+            elif optname == "adam_vlr":
+                n_params, s1, s2 = _adam_vlr_np(n_params, g, s1, s2, step,
+                                                lr_map)
+            elif optname == "momentum":
+                n_params, s1 = _momentum_np(n_params, g, s1, lr)
             else:
                 n_params, s1, s2 = _adadelta_np(n_params, g, s1, s2, lr)
         final_np_loss = np_loss(n_params)
