@@ -526,7 +526,7 @@ def test_train_options_interaction_matrix():
               deadline=None)
     @given(model=st.sampled_from(sorted(MODELS)),
            optimizer=st.sampled_from(["adam", "adadelta", "momentum",
-                                      "adam_vlr"]),
+                                      "nesterov", "adam_vlr"]),
            use_mesh=st.booleans(),
            mesh_mode=st.sampled_from(["gspmd", "shard_map"]),
            mp=st.sampled_from([1, 2]),
