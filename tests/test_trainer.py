@@ -589,3 +589,39 @@ def test_train_options_interaction_matrix():
         assert 0.0 <= result.test_cr <= 1.0
 
     run()
+
+
+def make_order_task(n, T=12, dim=12, seed=0):
+    """Temporal-structure task: class 0 = motif A then motif B, class 1 =
+    B then A, equal per-class MEAN features (max mean gap ~0.04 vs motif
+    magnitude 2.0) — unsolvable by any frame-pooled/mean model, so
+    convergence demonstrates the recurrent learning path specifically
+    (every other convergence fixture uses mean-separable classes)."""
+    rng = np.random.RandomState(seed)
+    A = np.zeros(dim)
+    A[: dim // 2] = 2.0
+    B = np.zeros(dim)
+    B[dim // 2:] = 2.0
+    lens = np.full(n, T)
+    frames, ys = [], []
+    for i in range(n):
+        c = i % 2
+        first, second = (A, B) if c == 0 else (B, A)
+        seq = np.concatenate([np.tile(first, (T // 2, 1)),
+                              np.tile(second, (T - T // 2, 1))])
+        frames.append(seq + 0.3 * rng.randn(T, dim))
+        ys.append(np.full(T, c))
+    return (np.concatenate(frames).astype(np.float32),
+            np.concatenate(ys).astype(np.int64), lens)
+
+
+def test_trainer_learns_temporal_order():
+    X, y, lens = make_order_task(64)
+    data = (([X], y, lens),) * 3
+    cfg = zoo.lstm_classifier_majority_vote(12, lstm_size=16,
+                                            output_classes=2)
+    opts = TrainOptions(num_epoch=40, epochsize=8, batchsize=16,
+                        learning_rate=0.01, validation_window=100, seed=0,
+                        log_fn=lambda s: None)
+    res = Trainer(cfg, opts).fit(*data)
+    assert res.test_cr >= 0.95, res.test_cr

@@ -107,3 +107,23 @@ def test_trainer_reaches_cr1_on_chip(optimizer):
                                  ([Xv], yv, lensv))
     assert res.test_cr == 1.0, (optimizer, res.test_cr, res.class_rate)
     assert np.isfinite(res.cost_val).all()
+
+
+def test_trainer_learns_temporal_order_on_tpu():
+    """Recurrence-required convergence on the real chip: the temporal-ORDER
+    task (equal class mean features; see tests/test_trainer.make_order_task)
+    reaches CR >= 0.95 — pins that the compiled TPU training path learns
+    temporal structure, not just frame statistics."""
+    from ip_avsr_tpu.models import zoo
+    from ip_avsr_tpu.train.trainer import Trainer, TrainOptions
+    from tests.test_trainer import make_order_task
+
+    X, y, lens = make_order_task(64)
+    data = (([X], y, lens),) * 3
+    cfg = zoo.lstm_classifier_majority_vote(12, lstm_size=16,
+                                            output_classes=2)
+    opts = TrainOptions(num_epoch=40, epochsize=8, batchsize=16,
+                        learning_rate=0.01, validation_window=100, seed=0,
+                        log_fn=lambda s: None)
+    res = Trainer(cfg, opts).fit(*data)
+    assert res.test_cr >= 0.95, res.test_cr
