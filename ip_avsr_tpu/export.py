@@ -128,7 +128,15 @@ def export_server(
         dims.append("b")
     if time is None:
         dims.append("t")
-        floor = min_time if min_time is not None else max(config.window, 1)
+        if min_time is not None:
+            floor = min_time
+        elif any(s.use_delta for s in config.streams):
+            floor = max(config.window, 1)
+        else:
+            # the window only matters where deltas exist — a delta-free
+            # model serves any length (same over-strictness class as the
+            # sp window check; caught by the INI->export property leg)
+            floor = 1
         constraints.append(f"t >= {int(floor)}")
     if dims:
         syms = dict(zip(dims, jax.export.symbolic_shape(

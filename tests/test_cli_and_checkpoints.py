@@ -488,3 +488,16 @@ def test_ini_config_to_model_property(tmp_path_factory, streams, clf, data):
     cr, conf = tr.evaluate(p2, dev[0], np.asarray(y), np.asarray(mask))
     assert 0.0 <= cr <= 1.0
     assert conf.sum() == B
+
+    # ---- (c) the INI-built model exports and the artifact matches the
+    # live server (the config -> deploy seam, same drawn config)
+    from ip_avsr_tpu import export as export_lib
+    from ip_avsr_tpu.serve import make_server
+
+    art = tmp_path_factory.mktemp("ini_export") / "m.ipax"
+    export_lib.save_artifact(str(art), params, cfg_ini)
+    srv = export_lib.load_server(str(art))
+    live = make_server(params, cfg_ini)
+    np.testing.assert_allclose(np.asarray(srv(inputs, mask)),
+                               np.asarray(live(inputs, mask)),
+                               rtol=1e-6, atol=1e-7)
