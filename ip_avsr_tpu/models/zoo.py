@@ -320,6 +320,7 @@ def adenet_nstream(
     stream_dropout=0.0,
     stream_lstm_multiplier=1,
     use_delta=True,
+    use_blstm=True,
 ) -> AdeNetConfig:
     """Generic N-stream AdeNet (modelzoo/adenet_{2,3,4}stream.py,
     adenet_3stream_dct.py — pass encoders[i]=None for encoder-less streams —
@@ -339,6 +340,7 @@ def adenet_nstream(
             streams.append(StreamSpec(input_dim=dim, name=f"s{i + 1}", **kw))
     return AdeNetConfig(
         streams=streams, output_classes=output_classes, lstm_size=lstm_size,
-        window=window, fusiontype=fusiontype, agg_layers=1, agg_bidirectional=True,
+        window=window, fusiontype=fusiontype, agg_layers=1,
+        agg_bidirectional=use_blstm,
         output_mode="per_step", w_init=w_init, use_peepholes=use_peepholes,
     )

@@ -241,7 +241,11 @@ def build_model_config(stream_cfgs, clf: "ClassifierConfig", encoders=None):
             w_init=clf.weight_init, use_peepholes=clf.use_peepholes,
             stream_dropout=0.5 if clf.use_dropout else 0.0,
             stream_lstm_multiplier=2 if clf.use_dropout else 1,
-            use_delta=[s.use_delta for s in stream_cfgs])
+            use_delta=[s.use_delta for s in stream_cfgs],
+            # INI use_blstm previously reached only the 1-stream builders —
+            # an N-stream `use_blstm = false` was silently ignored (caught
+            # by the INI property's streaming leg)
+            use_blstm=clf.use_blstm)
     if clf.lstm_remat:
         cfg = _dc.replace(cfg, lstm_remat=True)
     if clf.lstm_residual_dtype:

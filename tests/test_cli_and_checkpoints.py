@@ -501,3 +501,23 @@ def test_ini_config_to_model_property(tmp_path_factory, streams, clf, data):
     np.testing.assert_allclose(np.asarray(srv(inputs, mask)),
                                np.asarray(live(inputs, mask)),
                                rtol=1e-6, atol=1e-7)
+
+    # ---- (d) forward-only draws must also stream with one-shot parity
+    # (INI -> build -> StreamingSession, full-valid single row)
+    if not clf["use_blstm"]:
+        from ip_avsr_tpu.serve import StreamingSession
+
+        T2 = max(2 * cfg_ini.window, 6)
+        xs = [np.asarray(rng.randn(1, T2, s.input_dim), np.float32)
+              for s in cfg_ini.streams]
+        ref = np.asarray(make_server(params, cfg_ini, vote=False)(
+            xs, np.ones((1, T2), np.float32)))
+        sess = StreamingSession(params, cfg_ini)
+        got = list(sess.feed(xs))
+        tail, _ = sess.finalize()
+        emitted = (np.concatenate([np.stack(got, axis=1), tail], axis=1)
+                   if got else tail)
+        if cfg_ini.output_mode == "per_step":
+            np.testing.assert_allclose(emitted, ref, atol=2e-6)
+        else:
+            np.testing.assert_allclose(emitted[:, -1], ref, atol=2e-6)
