@@ -225,6 +225,15 @@ def build_model_config(stream_cfgs, clf: "ClassifierConfig", encoders=None):
                 lstm_size=clf.lstm_size, window=clf.windowsize,
                 output_classes=clf.output_classes, w_init=clf.weight_init,
                 use_peepholes=clf.use_peepholes, use_blstm=clf.use_blstm)
+        elif stream_cfgs[0].use_delta:
+            # the reference's no-encoder 1-stream runner builds deltanet_v1
+            # (deltas straight on the raw features —
+            # runners/1stream_noencoder.py:234); previously this branch
+            # silently built the delta-free lstm_classifier instead
+            cfg = zoo.deltanet_v1(
+                dims[0], lstm_size=clf.lstm_size, window=clf.windowsize,
+                output_classes=clf.output_classes, w_init=clf.weight_init,
+                use_peepholes=clf.use_peepholes, use_blstm=clf.use_blstm)
         else:
             cfg = zoo.lstm_classifier_majority_vote(
                 dims[0], lstm_size=clf.lstm_size,

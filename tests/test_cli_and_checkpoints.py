@@ -521,3 +521,31 @@ def test_ini_config_to_model_property(tmp_path_factory, streams, clf, data):
             np.testing.assert_allclose(emitted, ref, atol=2e-6)
         else:
             np.testing.assert_allclose(emitted[:, -1], ref, atol=2e-6)
+
+
+def test_noencoder_delta_ini_builds_deltanet_v1():
+    """A 1-stream no-encoder INI with deltas must build deltanet_v1 (the
+    reference's 1stream_noencoder runner does —
+    runners/1stream_noencoder.py:234); it used to silently build the
+    delta-free lstm_classifier."""
+    import configparser
+
+    from ip_avsr_tpu.train import config as config_lib
+
+    cp = configparser.ConfigParser()
+    cp.add_section("stream1")
+    cp.set("stream1", "input_dimensions", "20")
+    cp.set("stream1", "use_encoder", "false")
+    cp.add_section("lstm_classifier")
+    cp.set("lstm_classifier", "lstm_size", "8")
+    cp.set("lstm_classifier", "output_classes", "4")
+    cp.set("lstm_classifier", "windowsize", "5")
+    cfg = config_lib.build_model_config(config_lib.parse_streams(cp),
+                                        config_lib.parse_classifier(cp))
+    assert cfg.streams[0].use_delta and not cfg.streams[0].use_lstm
+    assert cfg.window == 5  # windowsize reaches the delta window
+    # the explicit ablation still gets the delta-free classifier
+    cp.set("stream1", "use_delta", "false")
+    cfg2 = config_lib.build_model_config(config_lib.parse_streams(cp),
+                                         config_lib.parse_classifier(cp))
+    assert not cfg2.streams[0].use_delta
