@@ -179,7 +179,8 @@ def main(argv=None):
         return _train_and_report(options, clf, tc, stream_cfgs,
                                  train_streams, train_y, train_lens,
                                  val_streams, val_y, val_lens,
-                                 test_streams, test_y, test_lens)
+                                 test_streams, test_y, test_lens,
+                                 lr_map_config=config_lib.parse_lr_map(cp))
 
     if options.synthetic:
         train_ids, val_ids, test_ids = \
@@ -208,13 +209,15 @@ def main(argv=None):
     return _train_and_report(options, clf, tc, stream_cfgs,
                              train_streams, train_y, train_lens,
                              val_streams, val_y, val_lens,
-                             test_streams, test_y, test_lens)
+                             test_streams, test_y, test_lens,
+                             lr_map_config=config_lib.parse_lr_map(cp))
 
 
 def _train_and_report(options, clf, tc, stream_cfgs,
                       train_streams, train_y, train_lens,
                       val_streams, val_y, val_lens,
-                      test_streams, test_y, test_lens):
+                      test_streams, test_y, test_lens,
+                      lr_map_config=None):
     # ---- postsplit featurewise normalization ------------------------------
     for i, sc in enumerate(stream_cfgs):
         if sc.featurewisenormalize:
@@ -265,6 +268,7 @@ def _train_and_report(options, clf, tc, stream_cfgs,
         bucket_boundaries=tc.bucket_boundaries,
         device_data=options.device_data,
         grad_accum_steps=tc.grad_accum_steps,
+        lr_map_config=lr_map_config,
     )
 
     trainer = Trainer(model_cfg, topts)

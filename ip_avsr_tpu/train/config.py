@@ -11,6 +11,8 @@ Schema "generic" (runners/*.py, e.g. runners/4stream.py:159-224):
                 batchsize, train_subjects_file, val_subjects_file,
                 test_subjects_file, bucket_boundaries, matmul_dtype,
                 grad_accum_steps
+  [lr_map]      optional: parameter-path prefixes -> per-layer learning
+                rates for optimizer = adam_vlr (1stream_variable_lr.py)
 
 Schema "legacy" ([data]/[models]/[training], oulu/trimodal_with_val.py:274-287)
 is accepted by :func:`parse_legacy_config` for the dataset-specific CLIs.
@@ -178,6 +180,17 @@ def parse_training(cp: configparser.ConfigParser) -> TrainingConfig:
         matmul_dtype=_get(cp, sec, "matmul_dtype") or None,
         grad_accum_steps=int(_get(cp, sec, "grad_accum_steps", 1)),
     )
+
+
+def parse_lr_map(cp: configparser.ConfigParser):
+    """Optional ``[lr_map]`` section: parameter-path prefixes -> learning
+    rates for ``optimizer = adam_vlr`` (the config-driven equivalent of
+    runners/1stream_variable_lr.py's hardcoded per-layer map; prefixes
+    match train/optimizers.generate_lr_map, e.g. ``output = 0.005`` or
+    ``streams/s1/encoder = 0.0001``)."""
+    if not cp.has_section("lr_map"):
+        return None
+    return {k: float(v) for k, v in cp.items("lr_map")}
 
 
 def _parse_buckets(raw):

@@ -549,3 +549,27 @@ def test_noencoder_delta_ini_builds_deltanet_v1():
     cfg2 = config_lib.build_model_config(config_lib.parse_streams(cp),
                                          config_lib.parse_classifier(cp))
     assert not cfg2.streams[0].use_delta
+
+
+def test_nstream_lr_map_section(tmp_path, capsys):
+    """[lr_map] + optimizer=adam_vlr: the config-driven equivalent of
+    runners/1stream_variable_lr.py's hardcoded per-layer map — the run
+    completes and the parsed map reaches generate_lr_map semantics."""
+    import configparser
+
+    from ip_avsr_tpu.cli import nstream
+    from ip_avsr_tpu.train import config as config_lib
+
+    base = open("configs/synthetic_1stream.ini").read()
+    cfg_path = tmp_path / "vlr.ini"
+    cfg_path.write_text(base.replace("optimizer = adam",
+                                     "optimizer = adam_vlr") +
+                        "\n[lr_map]\noutput = 0.01\n"
+                        "streams/s1/encoder = 0.0005\n")
+    cp = configparser.ConfigParser()
+    cp.read(str(cfg_path))
+    assert config_lib.parse_lr_map(cp) == {"output": 0.01,
+                                           "streams/s1/encoder": 0.0005}
+    nstream.main(["--config", str(cfg_path), "--synthetic", "24",
+                  "--num_epoch", "1"])
+    assert "Epoch 1" in capsys.readouterr().out
