@@ -129,8 +129,10 @@ def main(argv=None):
             loaded = export_lib.load_streaming_artifact(args.artifact)
             new_session = loaded.new_session
         else:
-            def new_session():
-                return serve_lib.StreamingSession(params, cfg)
+            # build the jitted programs ONCE; per-utterance sessions revive
+            # from them (a constructor per utterance would recompile)
+            template = serve_lib.StreamingSession(params, cfg)
+            new_session = template.fresh
 
         for i in range(n):
             T = int(lens[i])

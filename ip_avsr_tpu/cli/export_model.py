@@ -61,6 +61,10 @@ def main(argv=None):
                     help="reload the artifact and verify its scores match "
                          "the live server on random inputs")
     args = ap.parse_args(argv)
+    if args.streaming and (args.time is not None or args.per_step):
+        ap.error("--time/--per_step do not apply to streaming artifacts "
+                 "(the chunk axis is symbolic and streaming is inherently "
+                 "per-step)")
 
     cp = config_lib.load_config(args.config)
     stream_cfgs = config_lib.parse_streams(cp)

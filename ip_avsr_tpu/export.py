@@ -62,6 +62,21 @@ def config_from_dict(d: dict) -> adenet.AdeNetConfig:
     return adenet.AdeNetConfig(streams=streams, **rest)
 
 
+def _cast_weights(params, weights_dtype):
+    """Deployment size/bandwidth lever shared by every exporter: bake the
+    weights in a narrower dtype (bf16 halves the artifact and the weight
+    HBM traffic; it is the recommended inference dtype — predictions are
+    pinned argmax-stable vs f32).  Compute follows the model's
+    matmul/activation dtypes as usual; None is a no-op."""
+    if weights_dtype is None:
+        return params
+    wd = jnp.dtype(weights_dtype)
+    return jax.tree_util.tree_map(
+        lambda x: x.astype(wd) if (hasattr(x, "dtype")
+                                   and x.dtype == jnp.float32) else x,
+        params)
+
+
 def _input_specs(config: adenet.AdeNetConfig, batch, time):
     """ShapeDtypeStructs for ``make_server``'s (streams, mask) signature."""
     streams = [jax.ShapeDtypeStruct((batch, time, s.input_dim), jnp.float32)
@@ -103,18 +118,7 @@ def export_server(
     from ip_avsr_tpu.ops.pallas import dispatch
     from ip_avsr_tpu.serve import make_server, make_trimodal_server
 
-    if weights_dtype is not None:
-        # deployment size/bandwidth lever: bake the baked-in weights in a
-        # narrower dtype (bf16 halves the artifact and the weight HBM
-        # traffic; it is the recommended inference dtype — the bench's
-        # forward metric runs bf16 weights, and predictions are pinned
-        # stable vs f32).  Compute follows the model's matmul/activation
-        # dtypes as usual.
-        wd = jnp.dtype(weights_dtype)
-        params = jax.tree_util.tree_map(
-            lambda x: x.astype(wd) if (hasattr(x, "dtype")
-                                       and x.dtype == jnp.float32) else x,
-            params)
+    params = _cast_weights(params, weights_dtype)
     if trimodal is not None:
         serve = make_trimodal_server(params, config, vote=vote, **trimodal)
     else:
@@ -292,12 +296,7 @@ def save_streaming_artifact(
     from ip_avsr_tpu.ops.pallas import dispatch
     from ip_avsr_tpu.serve import StreamingSession
 
-    if weights_dtype is not None:
-        wd = jnp.dtype(weights_dtype)
-        params = jax.tree_util.tree_map(
-            lambda x: x.astype(wd) if (hasattr(x, "dtype")
-                                       and x.dtype == jnp.float32) else x,
-            params)
+    params = _cast_weights(params, weights_dtype)
     sess = StreamingSession(params, config, batch=batch)
     if platforms is None:
         platforms = ("cpu", "tpu")

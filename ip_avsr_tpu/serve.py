@@ -295,7 +295,15 @@ def make_bucketed_server(params: dict = None,
     # vote inside the bucketed server must be MASKED (padded frames cannot
     # cast votes, or T-bucket padding would change the scores)
     inner = serve_fn or make_server(params, config, vote=False)
-    n_classes = output_classes if output_classes is not None else config.output_classes
+    if output_classes is not None:
+        n_classes = output_classes
+    elif config is not None:
+        n_classes = config.output_classes
+    elif vote:
+        raise ValueError("vote=True needs output_classes (no config to "
+                         "read the class count from)")
+    else:
+        n_classes = None  # vote=False never consults it
 
     @jax.jit
     def vote_fn(out, mask):
@@ -424,7 +432,8 @@ class StreamingSession:
         self._n_streams = len(config.streams)
         self._out_mode = config.output_mode
         self._C = int(config.output_classes)
-        self._state = adenet.streaming_init_state(params, config, self._B)
+        self._state0 = adenet.streaming_init_state(params, config, self._B)
+        self._state = self._state0
         self._enc = []      # per stream: retained tail of encoded frames
         self._base = 0      # absolute frame index of _enc[i][:, 0]
         self._emitted = 0   # frames whose scores have been yielded
@@ -475,6 +484,7 @@ class StreamingSession:
         self._n_streams = len(prep)
         self._out_mode = output_mode
         self._C = int(output_classes)
+        self._state0 = state0
         self._state = state0
         self._enc = []
         self._base = 0
@@ -485,6 +495,16 @@ class StreamingSession:
         self._prep = list(prep)
         self._advance = advance
         return self
+
+    def fresh(self) -> "StreamingSession":
+        """A new session sharing this one's COMPILED prep/advance programs
+        — the per-utterance revival path (a plain constructor call would
+        re-jit and recompile everything per utterance)."""
+        return StreamingSession._from_parts(
+            prep=self._prep, advance=self._advance, state0=self._state0,
+            window=self._W, lookahead=self._L, use_delta=self._use_delta,
+            output_mode=self._out_mode, output_classes=self._C,
+            batch=self._B)
 
     # -- internals ----------------------------------------------------------
 

@@ -91,6 +91,16 @@ def generate_lr_map(params, lr_config: dict, default) -> Any:
         return default
 
     rates = [rate_for(path) for path, _ in flat]
+    names = ["/".join(str(getattr(k, "key", getattr(k, "idx", k)))
+                      for k in path) for path, _ in flat]
+    for prefix in lr_config:
+        if not any(n.startswith(prefix) for n in names):
+            import warnings
+
+            warnings.warn(
+                f"lr_map prefix {prefix!r} matches no parameter path "
+                f"(paths look like {names[0]!r}); that rate is unused",
+                stacklevel=2)
     treedef = jax.tree_util.tree_structure(params)
     return jax.tree_util.tree_unflatten(treedef, rates)
 

@@ -160,6 +160,11 @@ class Trainer:
     def __init__(self, config: adenet.AdeNetConfig, options: TrainOptions):
         self.config = config
         self.options = options
+        if options.lr_map_config and options.optimizer != "adam_vlr":
+            raise ValueError(
+                "lr_map_config (the [lr_map] INI section) only applies to "
+                f"optimizer='adam_vlr'; optimizer={options.optimizer!r} "
+                "would silently ignore it")
         if options.optimizer == "adam_vlr":
             # needs the parameter tree to build the rate map; finalized in fit
             self.optimizer = None

@@ -573,3 +573,39 @@ def test_nstream_lr_map_section(tmp_path, capsys):
     nstream.main(["--config", str(cfg_path), "--synthetic", "24",
                   "--num_epoch", "1"])
     assert "Epoch 1" in capsys.readouterr().out
+
+
+def test_lr_map_misuse_is_loud():
+    """[lr_map] with a non-vlr optimizer raises; unmatched prefixes warn
+    (review: both were silent no-ops)."""
+    import warnings
+
+    import jax
+    import pytest as _pytest
+
+    from ip_avsr_tpu.models import adenet, zoo
+    from ip_avsr_tpu.train import optimizers as opt_lib
+    from ip_avsr_tpu.train.trainer import Trainer, TrainOptions
+
+    cfg = zoo.lstm_classifier_majority_vote(6, lstm_size=4, output_classes=3)
+    with _pytest.raises(ValueError, match="adam_vlr"):
+        Trainer(cfg, TrainOptions(optimizer="adam",
+                                  lr_map_config={"output": 0.1},
+                                  log_fn=lambda *_: None))
+
+    params = adenet.init_adenet_params(jax.random.PRNGKey(0), cfg)
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        opt_lib.generate_lr_map(params, {"no/such/path": 0.1}, 0.01)
+    assert any("matches no parameter path" in str(x.message) for x in w)
+
+
+def test_export_model_streaming_flag_conflicts(tmp_path):
+    import pytest as _pytest
+
+    from ip_avsr_tpu.cli import export_model
+
+    with _pytest.raises(SystemExit):
+        export_model.main(["--config", "configs/synthetic_1stream.ini",
+                           "--out", str(tmp_path / "x.ipax"),
+                           "--streaming", "--time", "32"])

@@ -437,3 +437,22 @@ def test_bucketed_server_property_random_sizes():
         np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
 
     run()
+
+
+def test_bucketed_serve_fn_without_config_validation():
+    """serve_fn-only bucketed servers: vote=False needs no class count;
+    vote=True without one raises clearly (review: was an AttributeError)."""
+    cfg = zoo.lstm_classifier_majority_vote(6, lstm_size=6, output_classes=3)
+    params = adenet.init_adenet_params(jax.random.PRNGKey(0), cfg)
+    inner = serve.make_server(params, cfg, vote=False)
+
+    srv = serve.make_bucketed_server(serve_fn=inner, vote=False,
+                                     batch_buckets=(2,), time_buckets=(8,))
+    out = srv([np.random.RandomState(0).randn(1, 5, 6).astype(np.float32)],
+              np.array([5]))
+    assert out.shape == (1, 5, 3)  # per-step scores, padding sliced off
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="output_classes"):
+        serve.make_bucketed_server(serve_fn=inner, vote=True,
+                                   batch_buckets=(2,), time_buckets=(8,))

@@ -358,3 +358,22 @@ def test_streaming_chunking_property():
         np.testing.assert_allclose(emitted, ref, atol=1e-6)
 
     run()
+
+
+def test_fresh_sessions_share_programs_and_match():
+    """fresh() revives per-utterance sessions from one compiled program set
+    (review: the live demo path used to re-jit per utterance); scores must
+    equal a newly constructed session's."""
+    cfg = _streamable_cfg()
+    params = adenet.init_adenet_params(jax.random.PRNGKey(0), cfg)
+    template = StreamingSession(params, cfg)
+    rng = np.random.RandomState(3)
+    for utt in range(2):
+        x = rng.randn(1, 11, 12).astype(np.float32)
+        a, b = template.fresh(), StreamingSession(params, cfg)
+        out_a = list(a.feed([x])) + [a.finalize()[0]]
+        out_b = list(b.feed([x])) + [b.finalize()[0]]
+        for u, v in zip(out_a, out_b):
+            np.testing.assert_allclose(np.asarray(u), np.asarray(v),
+                                       atol=1e-6)
+        assert a._prep[0] is template._prep[0]  # shared compiled callables
