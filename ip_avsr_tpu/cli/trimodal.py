@@ -87,10 +87,24 @@ def main(argv=None):
         enc_shapes = (2000, 1000, 500, 50)
         enc_nl = ("sigmoid", "sigmoid", "sigmoid", "linear")
         pretrained = None
-        if "ae_pretrained" in model_cfg_d and "ae_diff_pretrained" in model_cfg_d:
-            w1, b1 = matio.load_dbn_mat(model_cfg_d["ae_pretrained"], n_layers=4)
-            w2, b2 = matio.load_dbn_mat(model_cfg_d["ae_diff_pretrained"], n_layers=4)
+        # the reference's legacy [models] keys are 'pretrained'/'finetuned'/
+        # 'finetuned_diff' (oulu/trimodal_with_val.py:276-278: load_finetune
+        # picks the finetuned AEs); accept those names too — a reference
+        # user's existing INI previously trained silently from scratch here
+        raw_ae = next((model_cfg_d[k] for k in
+                       ("ae_pretrained", "finetuned", "pretrained")
+                       if k in model_cfg_d), None)
+        diff_ae = next((model_cfg_d[k] for k in
+                        ("ae_diff_pretrained", "finetuned_diff")
+                        if k in model_cfg_d), None)
+        if raw_ae and diff_ae:
+            w1, b1 = matio.load_dbn_mat(raw_ae, n_layers=4)
+            w2, b2 = matio.load_dbn_mat(diff_ae, n_layers=4)
             pretrained = [(w1, b1), None, (w2, b2)]
+        if train_cfg.get("do_finetune", "").lower() in ("true", "1", "yes"):
+            print("note: do_finetune is handled by the separate "
+                  "ae_finetuner CLI here (python -m ip_avsr_tpu.cli."
+                  "ae_finetuner); training proceeds with the given AEs")
 
     targets = raw["targetsVec"].reshape(-1).astype(np.int64) - 1
     subjects = raw["subjectsVec"].reshape(-1)

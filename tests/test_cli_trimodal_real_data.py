@@ -130,3 +130,41 @@ def test_trimodal_leave_one_out_flag(corpus):
     # the held-out subject's videos are exactly the test set
     assert res.test_conf.sum() == int((subjects == 3).sum())
     assert np.isfinite(res.best_val)
+
+
+def test_trimodal_accepts_reference_model_key_names(corpus, capsys):
+    """A reference user's INI uses [models] finetuned / finetuned_diff
+    (oulu/trimodal_with_val.py:276-278) — those names must load the AEs
+    too (they used to be silently ignored, training from scratch)."""
+    import configparser
+
+    from ip_avsr_tpu.cli import trimodal
+
+    tmp_path, _ = corpus
+    cp = configparser.ConfigParser()
+    cp.read(str(tmp_path / "trimodal.ini"))
+    # swap to the reference key names + exercise the do_finetune note
+    del cp["models"]["ae_pretrained"], cp["models"]["ae_diff_pretrained"]
+    cp["models"]["finetuned"] = str(tmp_path / "ae.mat")
+    cp["models"]["finetuned_diff"] = str(tmp_path / "ae_diff.mat")
+    cp["training"]["do_finetune"] = "True"
+    ref_ini = tmp_path / "trimodal_refkeys.ini"
+    with open(ref_ini, "w") as f:
+        cp.write(f)
+
+    from ip_avsr_tpu.train import trainer as trainer_mod
+
+    captured = {}
+    orig_init = trainer_mod.Trainer.init_params
+
+    def spy(self, key, **kw):
+        captured["pretrained"] = kw.get("pretrained_encoders")
+        return orig_init(self, key, **kw)
+
+    trainer_mod.Trainer.init_params = spy
+    try:
+        trimodal.main(["--config", str(ref_ini), "--num_epoch", "1"])
+    finally:
+        trainer_mod.Trainer.init_params = orig_init
+    assert captured["pretrained"] is not None  # AEs actually reached init
+    assert "ae_finetuner" in capsys.readouterr().out  # do_finetune note
