@@ -93,9 +93,18 @@ def main(argv=None):
         imagesize = tuple(int(d) for d in data_cfg.get("imagesize", "26,44").split(","))
         enc_shapes = enc_nl = None
         pretrained = None
-        if "ae_pretrained" in model_cfg_d and "ae_diff_pretrained" in model_cfg_d:
-            w1, b1 = matio.load_dbn_mat(model_cfg_d["ae_pretrained"], n_layers=4)
-            w2, b2 = matio.load_dbn_mat(model_cfg_d["ae_diff_pretrained"], n_layers=4)
+        # accept the reference's legacy [models] key names too
+        # (oulu/leave_one_out.py:253-255: pretrained/finetuned/
+        # finetuned_diff) — same silent-skip fix as cli/trimodal.py
+        raw_ae = next((model_cfg_d[k] for k in
+                       ("ae_pretrained", "finetuned", "pretrained")
+                       if k in model_cfg_d), None)
+        diff_ae = next((model_cfg_d[k] for k in
+                        ("ae_diff_pretrained", "finetuned_diff")
+                        if k in model_cfg_d), None)
+        if raw_ae and diff_ae:
+            w1, b1 = matio.load_dbn_mat(raw_ae, n_layers=4)
+            w2, b2 = matio.load_dbn_mat(diff_ae, n_layers=4)
             pretrained = [(w1, b1), None, (w2, b2)]
 
     targets = raw["targetsVec"].reshape(-1).astype(np.int64) - 1
