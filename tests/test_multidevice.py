@@ -101,6 +101,62 @@ def test_dryrun_multichip_entrypoint():
     __graft_entry__.dryrun_multichip(8)
 
 
+def test_cpu_mesh_ready_requires_cpu_priority():
+    """Round-4 MULTICHIP regression: the driver process has
+    jax_platforms == "axon,cpu" (a priority-ordered list where the axon
+    plugin wins), so membership of "cpu" must NOT qualify as cpu-mesh-ready —
+    only a pure-"cpu" platform list does."""
+    import __graft_entry__
+
+    flags = "--xla_force_host_platform_device_count=8"
+    # the exact driver environment that broke round 4:
+    assert not __graft_entry__._cpu_mesh_ready(8, platforms="axon,cpu",
+                                               xla_flags=flags)
+    assert not __graft_entry__._cpu_mesh_ready(8, platforms="cpu,axon",
+                                               xla_flags=flags)
+    assert __graft_entry__._cpu_mesh_ready(8, platforms="cpu", xla_flags=flags)
+    assert __graft_entry__._cpu_mesh_ready(8, platforms=" cpu ",
+                                           xla_flags=flags)
+    # enough platforms but too few virtual devices
+    assert not __graft_entry__._cpu_mesh_ready(
+        8, platforms="cpu", xla_flags="--xla_force_host_platform_device_count=4")
+    assert not __graft_entry__._cpu_mesh_ready(8, platforms="cpu", xla_flags="")
+    # live config in this test session (conftest sets cpu + 8 devices)
+    assert __graft_entry__._cpu_mesh_ready(8)
+
+
+def test_dryrun_falls_back_to_child_on_platform_mismatch(monkeypatch):
+    """Belt and braces: even if the config check passes, a live backend that
+    doesn't actually expose n CPU devices (plugin platform claimed the
+    process) must route to the child re-exec, never assert in-process."""
+    import __graft_entry__
+
+    called = {}
+    monkeypatch.setattr(__graft_entry__, "_reexec_child",
+                        lambda n: called.setdefault("n", n))
+    monkeypatch.setattr(__graft_entry__, "_dryrun_multichip_impl",
+                        lambda n: (_ for _ in ()).throw(
+                            AssertionError("must not run in-process")))
+
+    class _FakeTpu:
+        platform = "tpu"
+
+    # config says ready, but the live backend is one TPU
+    monkeypatch.setattr(__graft_entry__, "_cpu_mesh_ready", lambda n: True)
+    monkeypatch.setattr(__graft_entry__.jax, "devices", lambda: [_FakeTpu()])
+    __graft_entry__.dryrun_multichip(8)
+    assert called == {"n": 8}
+
+    # config not ready at all -> child, without touching jax.devices()
+    called.clear()
+    monkeypatch.setattr(__graft_entry__, "_cpu_mesh_ready", lambda n: False)
+    monkeypatch.setattr(
+        __graft_entry__.jax, "devices",
+        lambda: (_ for _ in ()).throw(AssertionError("backend touched")))
+    __graft_entry__.dryrun_multichip(8)
+    assert called == {"n": 8}
+
+
 def test_entry_compiles_tiny():
     """entry() returns a jittable fn; compile-check on a tiny replica (the
     full-size flagship compile is the driver's job on real hardware)."""
