@@ -1,7 +1,8 @@
 """Model-architecture visualization.
 
-Parity with utils/draw_net.py (get_pydot_graph :61, draw_to_file :130): emit
-a graph of the model's layer DAG.  Here the DAG comes from an
+Parity with utils/draw_net.py (get_pydot_graph :61, draw_to_file :130,
+draw_to_notebook :147): emit a graph of the model's layer DAG, to a file or
+inline in a notebook.  Here the DAG comes from an
 :class:`~ip_avsr_tpu.models.adenet.AdeNetConfig` (the composer's declarative
 form) rather than introspecting a framework graph.  Output is Graphviz dot
 text; rendering to PNG uses pydot when available.
@@ -69,6 +70,123 @@ def config_to_dot(config, name: str = "adenet") -> str:
     return "\n".join(lines)
 
 
+def _graph_nodes_edges(config):
+    """The layer DAG as (nodes, edges): nodes is {id: (label, column)} with
+    one column per stream and a center column for fusion/aggregator/head;
+    edges is a list of (src, dst).  Shared layout backing both the dot
+    emitter and the notebook renderer."""
+    nodes, edges = {}, []
+    fuse_inputs = []
+    for col, spec in enumerate(config.streams):
+        sid = spec.name
+        prev = f"in_{sid}"
+        nodes[prev] = (f"input {sid}\ndim {spec.input_dim}", col)
+        if spec.encoder_shapes:
+            node = f"enc_{sid}"
+            nodes[node] = (f"encoder {sid}\n"
+                           + "-".join(str(s) for s in spec.encoder_shapes), col)
+            edges.append((prev, node)); prev = node
+        if spec.use_batchnorm:
+            node = f"bn_{sid}"
+            nodes[node] = (f"batchnorm {sid}", col)
+            edges.append((prev, node)); prev = node
+        if spec.use_delta:
+            node = f"delta_{sid}"
+            nodes[node] = (f"delta {sid}\nwin {config.window} x3", col)
+            edges.append((prev, node)); prev = node
+        if spec.dropout:
+            node = f"drop_{sid}"
+            nodes[node] = (f"dropout {sid}\np {spec.dropout}", col)
+            edges.append((prev, node)); prev = node
+        if spec.use_lstm:
+            node = f"lstm_{sid}"
+            nodes[node] = (f"lstm {sid}\n{config.stream_lstm_size(spec)}", col)
+            edges.append((prev, node)); prev = node
+        fuse_inputs.append(prev)
+    center = (len(config.streams) - 1) / 2.0
+    nodes["fuse"] = (f"fusion\n{config.fusiontype}", center)
+    for node in fuse_inputs:
+        edges.append((node, "fuse"))
+    prev = "fuse"
+    for i, size in enumerate(config.aggregator_sizes()):
+        kind = "blstm" if config.agg_bidirectional else "lstm"
+        node = f"agg{i}"
+        nodes[node] = (f"{kind} agg {i + 1}\n{size}", center)
+        edges.append((prev, node)); prev = node
+    head = ("softmax per-step" if config.output_mode == "per_step"
+            else "slice(-1) + softmax")
+    nodes["out"] = (f"{head}\n{config.output_classes} classes", center)
+    edges.append((prev, "out"))
+    return nodes, edges
+
+
+def render_png_bytes(config, name: str = "adenet") -> bytes:
+    """Render the layer DAG to PNG bytes.  Prefers pydot+graphviz (the
+    reference's renderer); falls back to a matplotlib box-and-arrow drawing
+    so notebooks work without graphviz installed."""
+    try:
+        import pydot
+
+        graph = pydot.graph_from_dot_data(config_to_dot(config, name))[0]
+        return graph.create_png()
+    except Exception:
+        pass
+
+    import io
+
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    nodes, edges = _graph_nodes_edges(config)
+    # row = longest-path depth so every edge points downward
+    depth = {nid: 0 for nid in nodes}
+    for _ in range(len(nodes)):
+        for s, d in edges:
+            depth[d] = max(depth[d], depth[s] + 1)
+    pos = {nid: (col * 2.6, -depth[nid] * 1.4)
+           for nid, (label, col) in nodes.items()}
+    n_rows = max(depth.values()) + 1
+    n_cols = len(config.streams)
+    fig, ax = plt.subplots(figsize=(max(4, 2.8 * n_cols), max(4, 1.3 * n_rows)))
+    for s, d in edges:
+        (x0, y0), (x1, y1) = pos[s], pos[d]
+        ax.annotate("", xy=(x1, y1 + 0.45), xytext=(x0, y0 - 0.45),
+                    arrowprops=dict(arrowstyle="->", color="0.3"))
+    for nid, (label, col) in nodes.items():
+        x, y = pos[nid]
+        ax.text(x, y, label, ha="center", va="center", fontsize=8,
+                bbox=dict(boxstyle="round,pad=0.35", facecolor="#dce6f2",
+                          edgecolor="0.3"))
+    ax.set_title(name)
+    ax.axis("off")
+    # explicit limits, NOT bbox_inches="tight": tight-bbox computation over
+    # arrow annotations is pathologically slow (minutes) in matplotlib's Agg
+    # backend here
+    xs = [p[0] for p in pos.values()]
+    ys = [p[1] for p in pos.values()]
+    ax.set_xlim(min(xs) - 1.5, max(xs) + 1.5)
+    ax.set_ylim(min(ys) - 1.0, max(ys) + 1.0)
+    buf = io.BytesIO()
+    fig.savefig(buf, format="png", dpi=110)
+    plt.close(fig)
+    return buf.getvalue()
+
+
+def draw_to_notebook(config, name: str = "adenet"):
+    """Render the model DAG inline in a notebook (utils/draw_net.py:147-157).
+
+    Returns an ``IPython.display.Image`` of the rendered PNG (raw PNG bytes
+    when IPython isn't importable, e.g. from a plain script)."""
+    png = render_png_bytes(config, name)
+    try:
+        from IPython.display import Image
+    except Exception:
+        return png
+    return Image(png)
+
+
 def draw_to_file(config, filename: str, name: str = "adenet"):
     """Write the DAG: .dot always works; .png/.pdf need pydot+graphviz."""
     dot_src = config_to_dot(config, name)
@@ -84,7 +202,16 @@ def draw_to_file(config, filename: str, name: str = "adenet"):
         graph.write(filename, format=ext)
         return filename
     except Exception:
-        fallback = filename.rsplit(".", 1)[0] + ".dot"
-        with open(fallback, "w") as f:
-            f.write(dot_src)
-        return fallback
+        pass
+    if filename.endswith(".png"):
+        # no pydot/graphviz: the matplotlib renderer still makes a real PNG
+        try:
+            with open(filename, "wb") as f:
+                f.write(render_png_bytes(config, name))
+            return filename
+        except Exception:
+            pass
+    fallback = filename.rsplit(".", 1)[0] + ".dot"
+    with open(fallback, "w") as f:
+        f.write(dot_src)
+    return fallback

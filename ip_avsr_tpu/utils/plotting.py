@@ -32,25 +32,75 @@ def plot_validation_cost(train_costs, val_costs, class_rate=None, savefilename=N
     plt.close(fig)
 
 
-def tile_raster_images(X, img_shape, tile_shape, tile_spacing=(1, 1)):
-    """Tile flattened images into one 2D array for visualization
-    (utils/plotting_utils.py:12-129 behavior, simplified: per-image 0-1
-    scaling, float output)."""
+def scale_to_unit_interval(ndar, eps=1e-8):
+    """Scale an array to [0, 1] (utils/plotting_utils.py:122-129: subtract
+    the min, then divide by max-after-subtraction + eps)."""
+    ndar = np.asarray(ndar, dtype=np.float64).copy()
+    ndar -= ndar.min()
+    ndar *= 1.0 / (ndar.max() + eps)
+    return ndar
+
+
+def tile_raster_images(X, img_shape, tile_shape, tile_spacing=(0, 0),
+                       scale_rows_to_unit_interval=True,
+                       output_pixel_vals=True):
+    """Tile flattened images (one per row of ``X``) into a single 2-D array.
+
+    Full utils/plotting_utils.py:12-119 semantics:
+      * ``X`` may be a 2-D array (grayscale) or a 4-tuple of per-channel
+        arrays/None (RGBA; None channels fill with 0 color / opaque alpha).
+      * ``scale_rows_to_unit_interval`` — per-image min/max scaling via
+        :func:`scale_to_unit_interval` (eps-regularized divisor, matching
+        the reference pixel-for-pixel) vs raw values.
+      * ``output_pixel_vals`` — uint8 output (values * 255, C-cast on the
+        store as in the reference) vs the input's float values.
+    Unlike the reference this never touches matplotlib (headless library
+    code; rendering happens in the visualize_* wrappers)."""
+    assert len(img_shape) == 2
+    assert len(tile_shape) == 2
+    assert len(tile_spacing) == 2
+    out_shape = [(ishp + tsp) * tshp - tsp
+                 for ishp, tshp, tsp in zip(img_shape, tile_shape, tile_spacing)]
+
+    if isinstance(X, tuple):
+        assert len(X) == 4
+        if output_pixel_vals:
+            dtype = np.dtype("uint8")
+            channel_defaults = [0, 0, 0, 255]
+        else:
+            # reference reads X.dtype here, which a tuple doesn't have (it
+            # only ever passes arrays in the non-tuple branch); use the
+            # first present channel's dtype instead of crashing
+            present = [c for c in X if c is not None]
+            dtype = np.asarray(present[0]).dtype if present else np.dtype(np.float64)
+            channel_defaults = [0.0, 0.0, 0.0, 1.0]
+        out_array = np.zeros((out_shape[0], out_shape[1], 4), dtype=dtype)
+        for i in range(4):
+            if X[i] is None:
+                out_array[:, :, i] = np.zeros(out_shape, dtype=dtype) + channel_defaults[i]
+            else:
+                out_array[:, :, i] = tile_raster_images(
+                    np.asarray(X[i]), img_shape, tile_shape, tile_spacing,
+                    scale_rows_to_unit_interval, output_pixel_vals)
+        return out_array
+
     X = np.asarray(X)
     H, W = img_shape
-    th, tw = tile_shape
-    sh, sw = tile_spacing
-    out = np.zeros((th * H + (th - 1) * sh, tw * W + (tw - 1) * sw), dtype=np.float64)
-    for i in range(th):
-        for j in range(tw):
-            idx = i * tw + j
-            if idx >= len(X):
+    Hs, Ws = tile_spacing
+    out_array = np.zeros(out_shape,
+                         dtype=np.uint8 if output_pixel_vals else X.dtype)
+    for tile_row in range(tile_shape[0]):
+        for tile_col in range(tile_shape[1]):
+            idx = tile_row * tile_shape[1] + tile_col
+            if idx >= X.shape[0]:
                 continue
             img = X[idx].reshape(img_shape)
-            mn, mx = img.min(), img.max()
-            img = (img - mn) / (mx - mn) if mx > mn else img * 0
-            out[i * (H + sh) : i * (H + sh) + H, j * (W + sw) : j * (W + sw) + W] = img
-    return out
+            if scale_rows_to_unit_interval:
+                img = scale_to_unit_interval(img)
+            out_array[tile_row * (H + Hs): tile_row * (H + Hs) + H,
+                      tile_col * (W + Ws): tile_col * (W + Ws) + W] = \
+                img * (255 if output_pixel_vals else 1)
+    return out_array
 
 
 def _save_tile(vis, savefilename, title):

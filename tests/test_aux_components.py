@@ -125,7 +125,8 @@ def test_draw_net_dot(tmp_path):
 
 def test_plotting_tile_and_loss(tmp_path):
     rng = np.random.RandomState(0)
-    tiled = plotting.tile_raster_images(rng.rand(4, 16), (4, 4), (2, 2))
+    tiled = plotting.tile_raster_images(rng.rand(4, 16), (4, 4), (2, 2),
+                                        tile_spacing=(1, 1))
     assert tiled.shape == (9, 9)
     plotting.plot_validation_cost([3, 2, 1], [3.2, 2.5, 1.8], [0.3, 0.5, 0.7],
                                   savefilename=str(tmp_path / "loss.png"))
@@ -134,11 +135,75 @@ def test_plotting_tile_and_loss(tmp_path):
     assert n == 12
 
 
+def test_tile_raster_images_reference_semantics():
+    """utils/plotting_utils.py:12-129 parity: uint8 output_pixel_vals path,
+    eps-regularized per-row scaling, scaling toggle, RGBA tuple branch."""
+    rng = np.random.RandomState(1)
+    X = rng.rand(4, 12).astype(np.float64) * 3.0 + 1.0
+
+    # default: scale rows to [0,1], multiply by 255, store into uint8
+    out = plotting.tile_raster_images(X, (3, 4), (2, 2))
+    assert out.dtype == np.uint8 and out.shape == (6, 8)
+    # reference arithmetic for tile (0, 0), including the +eps divisor
+    img = X[0].reshape(3, 4).copy()
+    img -= img.min()
+    img *= 1.0 / (img.max() + 1e-8)
+    expect = np.zeros((3, 4), np.uint8)
+    expect[:] = img * 255  # C-cast on store, as in the reference
+    np.testing.assert_array_equal(out[:3, :4], expect)
+
+    # no scaling, float output: raw values pass through with X's dtype
+    raw = plotting.tile_raster_images(X, (3, 4), (2, 2),
+                                      scale_rows_to_unit_interval=False,
+                                      output_pixel_vals=False)
+    assert raw.dtype == X.dtype
+    np.testing.assert_array_equal(raw[:3, :4], X[0].reshape(3, 4))
+
+    # spacing + short X: gap rows/cols and missing tiles stay zero
+    sp = plotting.tile_raster_images(X[:3], (3, 4), (2, 2), tile_spacing=(1, 2))
+    assert sp.shape == (7, 10)
+    assert not sp[3, :].any() and not sp[:, 4:6].any()  # spacing bands
+    assert not sp[4:, 6:].any()  # 4th tile absent
+
+    # RGBA tuple branch: None channels fill with defaults (alpha=255)
+    rgba = plotting.tile_raster_images((X, None, None, None), (3, 4), (2, 2))
+    assert rgba.shape == (6, 8, 4) and rgba.dtype == np.uint8
+    np.testing.assert_array_equal(rgba[:, :, 0], out)
+    assert not rgba[:, :, 1].any() and not rgba[:, :, 2].any()
+    assert (rgba[:, :, 3] == 255).all()
+    # float tuple variant: alpha defaults to 1.0
+    rgba_f = plotting.tile_raster_images((X, X, None, None), (3, 4), (2, 2),
+                                         output_pixel_vals=False)
+    assert rgba_f.dtype == X.dtype and (rgba_f[:, :, 3] == 1.0).all()
+
+
 def test_confusion_matrix_image(tmp_path):
     cm = np.array([[5, 1], [2, 7]])
     plotting.plot_confusion_matrix_image(cm, ["a", "b"],
                                          savefilename=str(tmp_path / "cm.png"))
     assert (tmp_path / "cm.png").exists()
+
+
+def test_draw_to_notebook(tmp_path):
+    """utils/draw_net.py:147-157 parity: inline notebook rendering returns an
+    IPython Image backed by real PNG bytes (matplotlib fallback renderer
+    here — pydot/graphviz are absent in this environment)."""
+    from ip_avsr_tpu.models import zoo
+
+    cfg = zoo.adenet_v3(12, 6, 12, lstm_size=4, window=3, output_classes=5)
+    img = draw_net.draw_to_notebook(cfg)
+    from IPython.display import Image
+
+    assert isinstance(img, Image)
+    assert bytes(img.data[:8]) == b"\x89PNG\r\n\x1a\n"
+
+    # raw renderer + the draw_to_file .png path (no pydot installed)
+    png = draw_net.render_png_bytes(cfg)
+    assert png[:8] == b"\x89PNG\r\n\x1a\n"
+    out = draw_net.draw_to_file(cfg, str(tmp_path / "net.png"))
+    assert out.endswith(".png")
+    with open(out, "rb") as f:
+        assert f.read(8) == b"\x89PNG\r\n\x1a\n"
 
 
 def test_plotting_visualize_family(tmp_path):
