@@ -491,15 +491,16 @@ def _lstm_core_bwd(static, residuals, g_out):
         # same x @ W_in + b and hids_prev @ W_hid the forward computed, as
         # two large transient MXU matmuls (no recurrence re-run — hids is a
         # saved residual, so hids_prev is just a shift)
-        x_tm = jnp.transpose(x, (1, 0, 2)).reshape(T * B, D)
+        x_tm = jnp.transpose(x, (1, 0, 2))  # (T, B, D); 3-D dots, not a
+        # (T*B, .) flatten — merging unsharded T with a data-parallel-sharded
+        # B would force the SPMD partitioner to all-gather the stacks
         x_mm = x_tm.astype(mmdtype) if mmdtype else x_tm
         w_in_mm = w_in.astype(mmdtype) if mmdtype else w_in
         xp = (jnp.dot(x_mm, w_in_mm, preferred_element_type=_acc(f32))
-              .astype(f32).reshape(T, B, 4 * H) + b_p.astype(f32))
-        hp_mm = hids_prev.reshape(T * B, H)
-        hp_mm = hp_mm.astype(mmdtype) if mmdtype else hp_mm
+              .astype(f32) + b_p.astype(f32))
+        hp_mm = hids_prev.astype(mmdtype) if mmdtype else hids_prev
         rec = (jnp.dot(hp_mm, w_hid_mm, preferred_element_type=_acc(f32))
-               .astype(f32).reshape(T, B, 4 * H))
+               .astype(f32))
         gates_pre = xp + rec
 
     def back_step(carry, inputs):
@@ -543,26 +544,39 @@ def _lstm_core_bwd(static, residuals, g_out):
             back_step, (zeros, zeros),
             (g_out_t, gates_pre, cells, cells_prev, mask_t), reverse=True)
 
-    # weight/input grads as single large MXU matmuls over all T*B rows
-    dg_flat = dgates_all.reshape(T * B, 4 * H)
-    hp_flat = hids_prev.reshape(T * B, H)
-    x_flat = jnp.transpose(x, (1, 0, 2)).reshape(T * B, D)
+    # weight/input grads as single large MXU contractions over all (T, B)
+    # rows, expressed as dot_generals contracting BOTH axes of the stacked
+    # (T, B, .) tensors.  NOT a (T*B, .) reshape: merging the unsharded T
+    # axis with a (possibly data-parallel-sharded) B axis is inexpressible
+    # as a sharded reshape, and the SPMD partitioner responds by
+    # all-gathering every residual stack across the mesh (15 batch-axis
+    # all-gathers in the dp train step, scripts/scaling_pins.py); the
+    # contraction form instead keeps shards local and yields one partial
+    # matmul + grad all-reduce.  Single-device lowering is identical (XLA
+    # collapses the contracting dims itself).
+    x_t = jnp.transpose(x, (1, 0, 2))  # (T, B, D)
+    tb = (((0, 1), (0, 1)), ((), ()))  # contract T and B; no batch dims
     if mmdtype:
-        dg_mm = dg_flat.astype(mmdtype)
-        dw_hid = jnp.dot(hp_flat.astype(mmdtype).T, dg_mm,
-                         preferred_element_type=_acc(f32)).astype(w_hid.dtype)
-        dw_in = jnp.dot(x_flat.astype(mmdtype).T, dg_mm,
-                        preferred_element_type=_acc(f32)).astype(w_in.dtype)
+        dg_mm = dgates_all.astype(mmdtype)
+        dw_hid = jax.lax.dot_general(
+            hids_prev.astype(mmdtype), dg_mm, tb,
+            preferred_element_type=_acc(f32)).astype(w_hid.dtype)
+        dw_in = jax.lax.dot_general(
+            x_t.astype(mmdtype), dg_mm, tb,
+            preferred_element_type=_acc(f32)).astype(w_in.dtype)
         dx = (jnp.dot(dg_mm, w_in.astype(mmdtype).T,
                       preferred_element_type=_acc(f32)).astype(f32))
     else:
-        dw_hid = jnp.dot(hp_flat.T, dg_flat,
-                         preferred_element_type=_acc(f32)).astype(w_hid.dtype)
-        dw_in = jnp.dot(x_flat.T, dg_flat,
-                        preferred_element_type=_acc(f32)).astype(w_in.dtype)
-        dx = jnp.dot(dg_flat, w_in.T, preferred_element_type=_acc(f32)).astype(f32)
-    db = dg_flat.sum(axis=0).astype(b_p.dtype)
-    dx = jnp.transpose(dx.reshape(T, B, D), (1, 0, 2))
+        dw_hid = jax.lax.dot_general(
+            hids_prev, dgates_all, tb,
+            preferred_element_type=_acc(f32)).astype(w_hid.dtype)
+        dw_in = jax.lax.dot_general(
+            x_t, dgates_all, tb,
+            preferred_element_type=_acc(f32)).astype(w_in.dtype)
+        dx = jnp.dot(dgates_all, w_in.T,
+                     preferred_element_type=_acc(f32)).astype(f32)
+    db = dgates_all.sum(axis=(0, 1)).astype(b_p.dtype)
+    dx = jnp.transpose(dx, (1, 0, 2))  # (T, B, D) -> (B, T, D)
     if backwards:
         dx = jnp.flip(dx, axis=1)
     dcell_init = dcell0_g.sum(axis=0, keepdims=True).astype(cell_init_p.dtype)
@@ -718,15 +732,16 @@ def _lstm_core_peep_bwd(static, residuals, g_out):
         # remat does (x @ W_in + b and hids_prev @ W_hid; no recurrence
         # re-run — the peephole contributions are added per-gate below from
         # the saved cells residuals)
-        x_tm = jnp.transpose(x, (1, 0, 2)).reshape(T * B, D)
+        x_tm = jnp.transpose(x, (1, 0, 2))  # (T, B, D); 3-D dots — see the
+        # non-peephole backward's sharding note on (T*B, .) flattens
         x_mm = x_tm.astype(mmdtype) if mmdtype else x_tm
         w_in_mm = w_in.astype(mmdtype) if mmdtype else w_in
         xp = (jnp.dot(x_mm, w_in_mm, preferred_element_type=_acc(f32))
-              .astype(f32).reshape(T, B, 4 * H) + b_p.astype(f32))
-        hp_mm = hids_prev_full.reshape(T * B, H)
-        hp_mm = hp_mm.astype(mmdtype) if mmdtype else hp_mm
+              .astype(f32) + b_p.astype(f32))
+        hp_mm = (hids_prev_full.astype(mmdtype) if mmdtype
+                 else hids_prev_full)
         rec = (jnp.dot(hp_mm, w_hid_mm, preferred_element_type=_acc(f32))
-               .astype(f32).reshape(T, B, 4 * H))
+               .astype(f32))
         gates_pre = xp + rec
 
     def back_step(carry, inputs):
@@ -777,25 +792,31 @@ def _lstm_core_peep_bwd(static, residuals, g_out):
             back_step, (zeros, zeros, zh, zh, zh),
             (g_out_t, gates_pre, cells, cells_prev, mask_t), reverse=True)
 
-    dg_flat = dgates_all.reshape(T * B, 4 * H)
-    hp_flat = hids_prev_full.reshape(T * B, H)
-    x_flat = jnp.transpose(x, (1, 0, 2)).reshape(T * B, D)
+    # (T, B)-contracting dot_generals, not (T*B, .) flattens — see the
+    # non-peephole backward's sharding note
+    x_t = jnp.transpose(x, (1, 0, 2))  # (T, B, D)
+    tb = (((0, 1), (0, 1)), ((), ()))
     if mmdtype:
-        dg_mm = dg_flat.astype(mmdtype)
-        dw_hid = jnp.dot(hp_flat.astype(mmdtype).T, dg_mm,
-                         preferred_element_type=_acc(f32)).astype(w_hid.dtype)
-        dw_in = jnp.dot(x_flat.astype(mmdtype).T, dg_mm,
-                        preferred_element_type=_acc(f32)).astype(w_in.dtype)
+        dg_mm = dgates_all.astype(mmdtype)
+        dw_hid = jax.lax.dot_general(
+            hids_prev_full.astype(mmdtype), dg_mm, tb,
+            preferred_element_type=_acc(f32)).astype(w_hid.dtype)
+        dw_in = jax.lax.dot_general(
+            x_t.astype(mmdtype), dg_mm, tb,
+            preferred_element_type=_acc(f32)).astype(w_in.dtype)
         dx = jnp.dot(dg_mm, w_in.astype(mmdtype).T,
                      preferred_element_type=_acc(f32)).astype(f32)
     else:
-        dw_hid = jnp.dot(hp_flat.T, dg_flat,
-                         preferred_element_type=_acc(f32)).astype(w_hid.dtype)
-        dw_in = jnp.dot(x_flat.T, dg_flat,
-                        preferred_element_type=_acc(f32)).astype(w_in.dtype)
-        dx = jnp.dot(dg_flat, w_in.T, preferred_element_type=_acc(f32)).astype(f32)
-    db = dg_flat.sum(axis=0).astype(b_p.dtype)
-    dx = jnp.transpose(dx.reshape(T, B, D), (1, 0, 2))
+        dw_hid = jax.lax.dot_general(
+            hids_prev_full, dgates_all, tb,
+            preferred_element_type=_acc(f32)).astype(w_hid.dtype)
+        dw_in = jax.lax.dot_general(
+            x_t, dgates_all, tb,
+            preferred_element_type=_acc(f32)).astype(w_in.dtype)
+        dx = jnp.dot(dgates_all, w_in.T,
+                     preferred_element_type=_acc(f32)).astype(f32)
+    db = dgates_all.sum(axis=(0, 1)).astype(b_p.dtype)
+    dx = jnp.transpose(dx, (1, 0, 2))
     if backwards:
         dx = jnp.flip(dx, axis=1)
     dcell_init = dcell0_g.sum(axis=0, keepdims=True).astype(cell_init_p.dtype)
@@ -918,32 +939,34 @@ def _lstm_core_grouped_bwd(static, residuals, g_out):
         (g_out, gates_pre, cells, cells_prev, mask_g), reverse=True)
 
     hids_prev = jnp.concatenate([hid0[None], hids[:-1]], axis=0)
-    # (T, G, B, .) -> (G, T*B, .)
-    dg_flat = jnp.transpose(dgates_all, (1, 0, 2, 3)).reshape(G, T * B, 4 * H)
-    hp_flat = jnp.transpose(hids_prev, (1, 0, 2, 3)).reshape(G, T * B, H)
-    x_flat = jnp.transpose(x_g, (0, 2, 1, 3)).reshape(G, T * B, D)
+    # (T, G, B, .) stacks contracted over (T, B) with G as the batch dim —
+    # dot_generals, not (G, T*B, .) flattens, for the same sharding reason
+    # as the ungrouped backward (a time-major merge of the sharded B axis
+    # forces batch all-gathers under data parallelism)
+    x_t = jnp.transpose(x_g, (2, 0, 1, 3))  # (G, B, T, D) -> (T, G, B, D)
+    gtb = (((0, 2), (0, 2)), ((1,), (1,)))  # contract (T, B), batch G
 
-    def bmm(a, bb, out_dtype):
+    def wgrad(a, bb, out_dtype):
         if mmdtype:
             a, bb = a.astype(mmdtype), bb.astype(mmdtype)
         return jax.lax.dot_general(
-            a, bb, dimension_numbers=(((1,), (1,)), ((0,), (0,))),
+            a, bb, dimension_numbers=gtb,
             preferred_element_type=_acc(f32)).astype(out_dtype)
 
-    dw_hid = bmm(hp_flat, dg_flat, w_hid.dtype)  # (G, H, 4H)
-    dw_in = bmm(x_flat, dg_flat, w_in.dtype)     # (G, D, 4H)
-    db = dg_flat.sum(axis=1)
+    dw_hid = wgrad(hids_prev, dgates_all, w_hid.dtype)  # (G, H, 4H)
+    dw_in = wgrad(x_t, dgates_all, w_in.dtype)          # (G, D, 4H)
+    db = dgates_all.sum(axis=(0, 2))  # (G, 4H)
     if mmdtype:
         dx = jax.lax.dot_general(
-            dg_flat.astype(mmdtype), w_in.astype(mmdtype),
-            dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+            dgates_all.astype(mmdtype), w_in.astype(mmdtype),
+            dimension_numbers=(((3,), (2,)), ((1,), (0,))),
             preferred_element_type=_acc(f32)).astype(f32)
     else:
         dx = jax.lax.dot_general(
-            dg_flat, w_in,
-            dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+            dgates_all, w_in,
+            dimension_numbers=(((3,), (2,)), ((1,), (0,))),
             preferred_element_type=_acc(f32)).astype(f32)
-    dx = dx.reshape(G, T, B, D).transpose(0, 2, 1, 3)  # (G, B, T, D)
+    dx = dx.transpose(0, 2, 1, 3)  # (G, T, B, D) -> (G, B, T, D)
     dmask = jnp.zeros_like(mask_g)
     return dw_in, dw_hid, db, dcell0_g, dhid0_g, dx, dmask
 

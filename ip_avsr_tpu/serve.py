@@ -115,6 +115,10 @@ def make_server(params: dict, config: adenet.AdeNetConfig, vote: bool = True,
         mask = jax.device_put(jnp.asarray(mask, jnp.float32), batch_sh)
         return sharded(params, streams, mask)
 
+    # exposed for compiler accounting (scripts/scaling_pins.py lowers the
+    # jitted program abstractly to pin collectives/memory per device count)
+    serve._jitted = sharded
+    serve._mesh = mesh
     return serve
 
 

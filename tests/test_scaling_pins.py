@@ -1,0 +1,77 @@
+"""Compiler-accounted scaling invariants (scripts/scaling_pins.py).
+
+These assertions are the drift-guard for docs/SCALING.md's pins table: the
+collective structure and per-device memory scaling of the compiled SPMD
+programs, re-derived from the compiled HLO on the 8-device virtual CPU mesh
+every run.  If a model/ops change re-introduces cross-device gathers into
+the data-parallel backward (the (T*B, .) time-major reshape bug these pins
+caught) or breaks the sharded memory scaling, this fails.
+"""
+
+import os
+import sys
+
+import pytest
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))), "scripts"))
+
+import scaling_pins  # noqa: E402
+
+
+@pytest.fixture(scope="module")
+def flagship_tiny():
+    cfg, params, _, _ = scaling_pins._flagship(tiny=True)
+    B, T = scaling_pins._batch_time(tiny=True)
+    return cfg, params, B, T
+
+
+def test_dp_train_step_is_one_allreduce(flagship_tiny):
+    """Data-parallel training must cost exactly ONE (fused) gradient
+    all-reduce per step and must NOT all-gather activations or residuals
+    across the mesh — the whole point of dp."""
+    cfg, params, B, T = flagship_tiny
+    counts1, mem1 = scaling_pins.pin_train_dp(cfg, params, 1, B, T)
+    counts8, mem8 = scaling_pins.pin_train_dp(cfg, params, 8, B, T)
+    assert not any(counts1.values()), counts1  # single device: no collectives
+    assert counts8["all-reduce"] == 1, counts8
+    assert counts8["all-gather"] == 0, counts8  # the r5 time-major-flatten fix
+    assert counts8["all-to-all"] == 0, counts8
+    # per-device activation memory must shrink with the mesh (residuals stay
+    # sharded); parameters are replicated so param bytes are flat
+    assert mem8["temp_bytes"] < mem1["temp_bytes"] / 2, (mem1, mem8)
+    assert mem8["param_bytes"] == mem1["param_bytes"]
+
+
+def test_dp_tp_shards_params(flagship_tiny):
+    """dp x tp: encoder weights sharded on 'model' -> per-device param+opt
+    bytes strictly below the replicated dp figure; activation gathers where
+    a column-sharded layer feeds a full-width consumer are expected."""
+    cfg, params, B, T = flagship_tiny
+    counts, mem = scaling_pins.pin_train_dp(cfg, params, 8, B, T, tp=True)
+    _, mem_dp = scaling_pins.pin_train_dp(cfg, params, 8, B, T)
+    assert counts["all-reduce"] >= 1, counts
+    assert mem["param_bytes"] < mem_dp["param_bytes"], (mem, mem_dp)
+    assert mem["opt_bytes"] < mem_dp["opt_bytes"], (mem, mem_dp)
+
+
+def test_dp_sp_halo_and_no_gather(flagship_tiny):
+    """dp x sp: the delta halo exchange shows up as collective-permutes (the
+    all-to-all reshard lowers to permutes on this backend); the backward must
+    not all-gather the time-sharded stacks."""
+    cfg, params, B, T = flagship_tiny
+    counts, mem = scaling_pins.pin_train_sp(cfg, params, 8, B, T)
+    assert counts["collective-permute"] >= 2, counts  # fwd+bwd halo at least
+    assert counts["all-gather"] == 0, counts
+    assert counts["all-reduce"] >= 1, counts  # grad reduce
+
+
+def test_serve_mesh_no_collectives(flagship_tiny):
+    """Mesh-sharded serving is per-row end to end: zero collectives, and
+    per-device temp memory scales down with the device count."""
+    cfg, params, B, T = flagship_tiny
+    counts2, mem2 = scaling_pins.pin_serve(cfg, params, 2, B, T)
+    counts8, mem8 = scaling_pins.pin_serve(cfg, params, 8, B, T)
+    assert not any(counts2.values()), counts2
+    assert not any(counts8.values()), counts8
+    assert mem8["temp_bytes"] < mem2["temp_bytes"], (mem2, mem8)
