@@ -1,7 +1,7 @@
 # Developer entry points. CPU tests force an 8-device virtual mesh
 # (tests/conftest.py); tests_tpu needs a real TPU and skips itself otherwise.
 
-.PHONY: test test-tpu bench bench-quick multichip smoke
+.PHONY: test test-tpu bench bench-quick multichip smoke parity-real parity-rehearse scaling-pins
 
 test:
 	python -m pytest tests/ -q
@@ -30,3 +30,20 @@ coverage:
 
 e2e:
 	bash scripts/e2e_workflow.sh /tmp/ipavsr_e2e
+
+# Real-corpus accuracy parity vs the reference (north-star check). DATA is
+# the directory holding the corpus .mat files; REF_CR the reference run's
+# classification rate (fraction). CONFIG defaults to AVLetters unimodal.
+CONFIG ?= configs/avletters_1stream.ini
+parity-real:
+	python -m ip_avsr_tpu.cli.parity_check --data $(DATA) --config $(CONFIG) \
+	    $(if $(REF_CR),--reference-cr $(REF_CR),)
+
+# End-to-end rehearsal of the parity harness on a fabricated full-scale
+# AVLetters-shaped corpus (no real data needed).
+parity-rehearse:
+	python -m ip_avsr_tpu.cli.parity_check --rehearse
+
+# Regenerate the compiler-accounted scaling-pins table in docs/SCALING.md.
+scaling-pins:
+	python scripts/scaling_pins.py --update

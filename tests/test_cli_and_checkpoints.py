@@ -609,3 +609,30 @@ def test_export_model_streaming_flag_conflicts(tmp_path):
         export_model.main(["--config", "configs/synthetic_1stream.ini",
                            "--out", str(tmp_path / "x.ipax"),
                            "--streaming", "--time", "32"])
+
+
+def test_parity_check_rehearsal_learns(tmp_path):
+    """The one-command parity harness (cli/parity_check.py --rehearse)
+    drives the REAL path end to end: fabricate an AVLetters-shaped corpus +
+    w1..wN AE checkpoint as .mat files on disk, resolve the stock config
+    against them, train through cli/nstream with the reference schedule, and
+    emit the report artifact.  The motif corpus must be genuinely learnable
+    (chance is 1/26 ~= 0.038) or the rehearsal proves nothing."""
+    from ip_avsr_tpu.cli import parity_check
+
+    out = tmp_path / "report.json"
+    report = parity_check.run([
+        "--rehearse", "--rehearse-scale", "0.1", "--num_epoch", "8",
+        "--rehearse-dir", str(tmp_path / "corpus"),
+        "--reference-cr", "0.30", "--budget", "0.5",
+        "--out", str(out)])
+    assert report["rehearsal"] is True
+    assert report["rehearsal_corpus"]["n_utterances"] == 156
+    # 26-way split by iterVec: iterations 1/2 train, 3 test = 52 test utts
+    assert report["test_cr"] > 0.15, report  # ~4x chance after 8 epochs
+    assert "delta" in report and "within_budget" in report
+    on_disk = json.loads(out.read_text())
+    assert on_disk["test_cr"] == report["test_cr"]
+    # the corpus it wrote is real .mat files loadable by the standard reader
+    corpus = matio.load_mat_file(str(tmp_path / "corpus" / "allData_mouthROIs.mat"))
+    assert corpus["dataMatrix"].shape[1] == report["rehearsal_corpus"]["dim"]
