@@ -57,6 +57,10 @@ def parse_options(argv=None):
                         help="tensor parallelism: size of the 'model' mesh "
                              "axis (encoder weights column-sharded; builds a "
                              "dp x tp mesh over the visible devices)")
+    parser.add_argument("--zero1", action="store_true",
+                        help="ZeRO-1 optimizer-state sharding over the data "
+                             "axis (moments sharded, params replicated; "
+                             "implies --mesh, gspmd only)")
     parser.add_argument("--sequence_parallel", type=int, default=1,
                         help="sequence parallelism: size of the 'seq' mesh "
                              "axis (time-sharded prefix with halo-exchanged "
@@ -263,6 +267,7 @@ def _train_and_report(options, clf, tc, stream_cfgs,
         mesh_mode=options.mesh_mode,
         model_parallel=options.model_parallel,
         sequence_parallel=options.sequence_parallel,
+        zero1=options.zero1,
         checkpoint_dir=options.checkpoint_dir,
         resume=options.resume,
         bucket_boundaries=tc.bucket_boundaries,

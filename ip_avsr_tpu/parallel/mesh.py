@@ -129,6 +129,56 @@ def opt_state_shardings(opt_state, params, param_sh, mesh: Mesh):
     return jax.tree_util.tree_map(lambda _: rep, opt_state)
 
 
+def zero1_spec(leaf, size: int, axis_name: str = "data") -> P:
+    """ZeRO-1 PartitionSpec for one optimizer-moment leaf: shard the largest
+    axis divisible by ``size``; replicate leaves with no such axis (small
+    biases/scalars — their bytes are negligible)."""
+    if getattr(leaf, "ndim", 0) == 0:
+        return P()
+    dims = sorted(range(leaf.ndim), key=lambda d: -leaf.shape[d])
+    for d in dims:
+        if leaf.shape[d] % size == 0 and leaf.shape[d] >= size:
+            spec = [None] * leaf.ndim
+            spec[d] = axis_name
+            return P(*spec)
+    return P()
+
+
+def zero1_opt_state_shardings(opt_state, params, mesh: Mesh,
+                              axis_name: str = "data"):
+    """ZeRO-1 shardings for an optimizer-state tree: every top-level entry
+    that is tree-congruent with ``params`` (adam's m/v, adadelta's
+    accumulators, momentum's velocity) has each leaf sharded over the
+    ``data`` axis via :func:`zero1_spec`; everything else (step counters)
+    replicated.
+
+    With the batch sharded on the same axis and parameters replicated, the
+    SPMD partitioner turns the gradient all-reduce into a reduce-scatter
+    feeding per-device moment/update shards, followed by one all-gather of
+    the parameter update — the classic ZeRO-1 schedule, derived entirely
+    from sharding annotations.  Per-device optimizer bytes drop ~n_dev-fold;
+    collective bytes are unchanged (an all-reduce IS a reduce-scatter +
+    all-gather)."""
+    size = mesh.shape[axis_name]
+    p_struct = jax.tree_util.tree_structure(params)
+    rep = replicated_sharding(mesh)
+
+    def shard_like_params(entry):
+        return jax.tree_util.tree_map(
+            lambda leaf: NamedSharding(mesh,
+                                       zero1_spec(leaf, size, axis_name)),
+            entry)
+
+    def one(entry):
+        if jax.tree_util.tree_structure(entry) == p_struct:
+            return shard_like_params(entry)
+        return jax.tree_util.tree_map(lambda _: rep, entry)
+
+    if isinstance(opt_state, dict):
+        return {k: one(v) for k, v in opt_state.items()}
+    return jax.tree_util.tree_map(lambda _: rep, opt_state)
+
+
 def batch_sharding(mesh: Mesh, axis_name: str = "data") -> NamedSharding:
     """Shard the leading (batch) axis; all other axes replicated."""
     return NamedSharding(mesh, P(axis_name))

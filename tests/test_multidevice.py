@@ -478,3 +478,90 @@ def test_param_shardings_demote_on_missing_axis():
     for leaf in jax.tree_util.tree_leaves(
             sh, is_leaf=lambda x: hasattr(x, "spec")):
         assert leaf.spec == P()
+
+
+def test_trainer_zero1_step_equals_single_device():
+    """TrainOptions(zero1=True): adam moments shard over 'data' (largest
+    divisible dim per leaf), parameters stay replicated, and the updated
+    parameters match the single-device step exactly (the update math is
+    elementwise on shards)."""
+    from jax.sharding import PartitionSpec as P
+
+    from ip_avsr_tpu.train.trainer import Trainer, TrainOptions
+
+    cfg = _tp_cfg()
+    params = adenet.init_adenet_params(jax.random.PRNGKey(0), cfg)
+    rng = np.random.RandomState(0)
+    B, T = 16, 9
+    x = rng.randn(B, T, 24).astype(np.float32)
+    lens = rng.randint(3, T + 1, B)
+    mask = (np.arange(T)[None, :] < lens[:, None]).astype(np.float32)
+    y = rng.randint(0, 4, B).astype(np.int32)
+
+    opts = lambda **kw: TrainOptions(optimizer="adam", learning_rate=1e-3,  # noqa: E731
+                                     log_fn=lambda *_: None, **kw)
+    single = Trainer(cfg, opts())
+    z1 = Trainer(cfg, opts(zero1=True))
+    assert z1.mesh is not None and z1.mesh.devices.size == 8
+
+    fresh = lambda: jax.tree_util.tree_map(jnp.array, params)  # noqa: E731
+    p0 = fresh()
+    s_args = single._device_batch([x], y, mask)
+    p1, _, l1 = single.train_step(p0, single.optimizer.init(p0), s_args[0],
+                                  s_args[1], s_args[2], jax.random.PRNGKey(3),
+                                  jnp.asarray(1e-3, jnp.float32))
+
+    p0b = fresh()
+    opt0 = z1.optimizer.init(p0b)
+    p0b, opt0 = z1._setup_zero1(p0b, opt0)
+    z_args = z1._device_batch([x], y, mask)
+    p2, s2, l2 = z1.train_step(p0b, opt0, z_args[0], z_args[1], z_args[2],
+                               jax.random.PRNGKey(3),
+                               jnp.asarray(1e-3, jnp.float32))
+
+    # moments sharded over 'data'; the matching PARAMETER stays replicated
+    m_w = s2["m"]["streams"]["s1"]["encoder"]["fc1"]["w"]
+    assert any(ax == "data" for ax in m_w.sharding.spec if ax is not None)
+    assert p2["streams"]["s1"]["encoder"]["fc1"]["w"].sharding.spec == P()
+    # leaves with no divisible axis are replicated, not padded
+    m_b = s2["m"]["output"]["b"]  # (4,): 4 % 8 != 0 -> replicated
+    assert m_b.sharding.spec == P()
+
+    np.testing.assert_allclose(float(l1), float(l2), rtol=1e-5)
+    for a, b in zip(jax.tree_util.tree_leaves(p1), jax.tree_util.tree_leaves(p2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-6)
+
+
+def test_trainer_zero1_fit_learns():
+    """A zero1 fit() trains end to end (incl. the eval paths and NaN-free
+    multi-epoch state round trip) and learns the separable corpus."""
+    from ip_avsr_tpu.train.trainer import Trainer, TrainOptions
+
+    X, y, lens = _corpus(48)
+    Xv, yv, lensv = _corpus(12, seed=2)
+    cfg = _tp_cfg()
+    tr = Trainer(cfg, TrainOptions(num_epoch=4, epochsize=5, batchsize=16,
+                                   learning_rate=0.01, optimizer="adam",
+                                   zero1=True, prefetch_batches=False,
+                                   log_fn=lambda *_: None))
+    res = tr.fit(([X], y, lens), ([Xv], yv, lensv), ([Xv], yv, lensv))
+    assert res.class_rate[-1] > 0.5
+    assert np.isfinite(res.cost_val).all()
+
+
+def test_trainer_zero1_exclusions():
+    import pytest
+
+    from ip_avsr_tpu.train.trainer import Trainer, TrainOptions
+
+    cfg = _tp_cfg()
+    with pytest.raises(ValueError, match="gspmd"):
+        Trainer(cfg, TrainOptions(zero1=True, mesh_mode="shard_map",
+                                  log_fn=lambda *_: None))
+    with pytest.raises(ValueError, match="redundant"):
+        Trainer(cfg, TrainOptions(zero1=True, model_parallel=2,
+                                  log_fn=lambda *_: None))
+    with pytest.raises(ValueError, match="not supported"):
+        Trainer(cfg, TrainOptions(zero1=True, sequence_parallel=2,
+                                  log_fn=lambda *_: None))

@@ -75,3 +75,21 @@ def test_serve_mesh_no_collectives(flagship_tiny):
     assert not any(counts2.values()), counts2
     assert not any(counts8.values()), counts8
     assert mem8["temp_bytes"] < mem2["temp_bytes"], (mem2, mem8)
+
+
+def test_dp_zero1_shards_opt_state(flagship_tiny):
+    """dp + ZeRO-1: per-device optimizer bytes drop vs replicated dp (the
+    moments shard over 'data'), parameters stay replicated, and no
+    activation gathers appear (reduce-scatter/all-gather of the UPDATE is
+    expected — an all-reduce is exactly that pair, so collective bytes do
+    not grow)."""
+    cfg, params, B, T = flagship_tiny
+    counts, mem = scaling_pins.pin_train_dp(cfg, params, 8, B, T, zero1=True)
+    _, mem_dp = scaling_pins.pin_train_dp(cfg, params, 8, B, T)
+    assert mem["param_bytes"] == mem_dp["param_bytes"]  # params replicated
+    assert mem["opt_bytes"] < mem_dp["opt_bytes"] / 2, (mem, mem_dp)
+    assert counts["all-to-all"] == 0, counts
+    # the gradient reduction + update replication must still be present in
+    # some combination of reduce-scatter/all-reduce and all-gather
+    assert (counts["reduce-scatter"] + counts["all-reduce"]) >= 1, counts
+    assert (counts["all-gather"] + counts["all-reduce"]) >= 1, counts
