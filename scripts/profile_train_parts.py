@@ -67,9 +67,11 @@ def grad_of(fn):
 
 def main():
     B = int(sys.argv[1]) if len(sys.argv) > 1 else 2048
-    md = None if (len(sys.argv) > 2 and sys.argv[2] == "f32") else None
-    mm_label = "f32"
-    cfg, params, inputs, mask = build(B, None)
+    # dtype arg: "bf16" (default — what the bench's train metric runs) or "f32"
+    f32 = len(sys.argv) > 2 and sys.argv[2] == "f32"
+    md = None if f32 else "bfloat16"
+    mm_label = "f32" if f32 else "bf16"
+    cfg, params, inputs, mask = build(B, md)
     cfg = adenet.AdeNetConfig(**{**cfg.__dict__, "lstm_impl": "xla"})
     dev = jax.devices()[0]
     params = jax.device_put(params, dev)
