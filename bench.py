@@ -813,7 +813,10 @@ def main():
     # All metric lines are BUFFERED and printed together at the very end
     # (headline last): the driver records a bounded tail of this process's
     # output, and in round 4 interleaved stderr noise pushed the first
-    # metric line out of the captured window.
+    # metric line out of the captured window.  The flush lives in a
+    # try/finally so a failure in any later measurement still reports every
+    # metric already taken (r5 review: one failing metric must truncate the
+    # report, not destroy it).
     lines = []
 
     def emit(d):
@@ -821,112 +824,114 @@ def main():
         print(f"bench: measured {d['metric']} = {d['value']} {d['unit']}",
               file=sys.stderr, flush=True)
 
-    best_train, train_flops, train_b = 0.0, None, 0
-    for b, md in train_batches:
-        tput, flops = measure_train(b, train_iters, matmul_dtype=md)
-        if tput > best_train:
-            best_train, train_flops, train_b = tput, flops, b
-    emit({
-        "metric": "trimodal_train_utt_per_sec_per_chip",
-        "value": round(best_train, 2),
-        "unit": "utterances/sec/chip",
-        "vs_baseline": round(best_train / train_baseline["utt_per_sec"], 2),
-        **_mfu_fields(train_flops, train_b, best_train, ceiling),
-    })
+    try:
+        best_train, train_flops, train_b = 0.0, None, 0
+        for b, md in train_batches:
+            tput, flops = measure_train(b, train_iters, matmul_dtype=md)
+            if tput > best_train:
+                best_train, train_flops, train_b = tput, flops, b
+        emit({
+            "metric": "trimodal_train_utt_per_sec_per_chip",
+            "value": round(best_train, 2),
+            "unit": "utterances/sec/chip",
+            "vs_baseline": round(best_train / train_baseline["utt_per_sec"], 2),
+            **_mfu_fields(train_flops, train_b, best_train, ceiling),
+        })
 
-    # B=2048 > 1024 (+8.6%) > 256 (+43% total) — measured ladder, see
-    # scripts/measure_train_batch.py --peep-only
-    peep_b = 256 if args.quick else 2048
-    peep_tput, peep_flops = measure_train_peep(peep_b, train_iters)
-    emit({
-        "metric": "bimodal_peep_train_utt_per_sec_per_chip",
-        "value": round(peep_tput, 2),
-        "unit": "utterances/sec/chip",
-        "vs_baseline": round(peep_tput / peep_baseline["utt_per_sec"], 2),
-        **_mfu_fields(peep_flops, peep_b, peep_tput, ceiling),
-    })
+        # B=2048 > 1024 (+8.6%) > 256 (+43% total) — measured ladder, see
+        # scripts/measure_train_batch.py --peep-only
+        peep_b = 256 if args.quick else 2048
+        peep_tput, peep_flops = measure_train_peep(peep_b, train_iters)
+        emit({
+            "metric": "bimodal_peep_train_utt_per_sec_per_chip",
+            "value": round(peep_tput, 2),
+            "unit": "utterances/sec/chip",
+            "vs_baseline": round(peep_tput / peep_baseline["utt_per_sec"], 2),
+            **_mfu_fields(peep_flops, peep_b, peep_tput, ceiling),
+        })
 
-    # pretrain-path throughput (the reference's offline cost center:
-    # MATLAB dbn/trainRBM.m CD-1 sweeps and the Lasagne conv-AE trainer)
-    rbm_baseline = cached("rbm_cpu", lambda: {
-        "ex_per_sec": measure_rbm_pretrain(
-            n_examples=2000, epochs=1,
-            device=__import__("jax").devices("cpu")[0])[0]})
-    rbm_n, rbm_epochs = (4000, 1) if args.quick else (12000, 4)
-    rbm_tput, rbm_flops = measure_rbm_pretrain(n_examples=rbm_n,
-                                               epochs=rbm_epochs)
-    emit({
-        "metric": "rbm_pretrain_ex_per_sec_per_chip",
-        "value": round(rbm_tput, 2),
-        "unit": "examples/sec/chip",
-        "vs_baseline": round(rbm_tput / rbm_baseline["ex_per_sec"], 2),
-        **_mfu_fields(rbm_flops, 1, rbm_tput, ceiling),
-    })
+        # pretrain-path throughput (the reference's offline cost center:
+        # MATLAB dbn/trainRBM.m CD-1 sweeps and the Lasagne conv-AE trainer)
+        rbm_baseline = cached("rbm_cpu", lambda: {
+            "ex_per_sec": measure_rbm_pretrain(
+                n_examples=2000, epochs=1,
+                device=__import__("jax").devices("cpu")[0])[0]})
+        rbm_n, rbm_epochs = (4000, 1) if args.quick else (12000, 4)
+        rbm_tput, rbm_flops = measure_rbm_pretrain(n_examples=rbm_n,
+                                                   epochs=rbm_epochs)
+        emit({
+            "metric": "rbm_pretrain_ex_per_sec_per_chip",
+            "value": round(rbm_tput, 2),
+            "unit": "examples/sec/chip",
+            "vs_baseline": round(rbm_tput / rbm_baseline["ex_per_sec"], 2),
+            **_mfu_fields(rbm_flops, 1, rbm_tput, ceiling),
+        })
 
-    convae_baseline = cached("convae_cpu", lambda: {
-        "ex_per_sec": measure_convae_pretrain(
-            batch=128, iters=2,
-            device=__import__("jax").devices("cpu")[0])[0]})
-    cae_b, cae_iters = (128, 10) if args.quick else (256, 30)
-    cae_tput, cae_flops = measure_convae_pretrain(batch=cae_b,
-                                                  iters=cae_iters)
-    emit({
-        "metric": "convae_pretrain_ex_per_sec_per_chip",
-        "value": round(cae_tput, 2),
-        "unit": "examples/sec/chip",
-        "vs_baseline": round(cae_tput / convae_baseline["ex_per_sec"], 2),
-        **_mfu_fields(cae_flops, 1, cae_tput, ceiling),
-    })
+        convae_baseline = cached("convae_cpu", lambda: {
+            "ex_per_sec": measure_convae_pretrain(
+                batch=128, iters=2,
+                device=__import__("jax").devices("cpu")[0])[0]})
+        cae_b, cae_iters = (128, 10) if args.quick else (256, 30)
+        cae_tput, cae_flops = measure_convae_pretrain(batch=cae_b,
+                                                      iters=cae_iters)
+        emit({
+            "metric": "convae_pretrain_ex_per_sec_per_chip",
+            "value": round(cae_tput, 2),
+            "unit": "examples/sec/chip",
+            "vs_baseline": round(cae_tput / convae_baseline["ex_per_sec"], 2),
+            **_mfu_fields(cae_flops, 1, cae_tput, ceiling),
+        })
 
-    (p50, on_device_ms, sustained_ms, transport_ms,
-     payload_bytes, sustained_nobatch_ms) = measure_serving_latency(
-        latency_calls)
-    # The metric VALUE is the on-device batch-1 latency: in this harness the
-    # synchronous round trip is dominated by the host<->device tunnel (~30 ms
-    # for a TRIVIAL jitted op — sync_p50_ms/transport_ms below), which
-    # measures the environment, not the framework.  The pipelined sustained
-    # metric is the end-to-end number that amortizes the tunnel away.
-    emit({
-        "metric": "trimodal_serve_batch1_on_device_ms",
-        "value": round(on_device_ms, 3),
-        "unit": "ms",
-        "vs_baseline": round(latency_baseline / on_device_ms, 2),
-        "sync_p50_ms": round(p50, 3),  # full round trip incl. tunnel
-        "transport_ms": round(transport_ms, 3),  # trivial-op round trip
-        "payload_bytes": payload_bytes,
-    })
-    emit({
-        "metric": "trimodal_serve_batch1_sustained_ms",
-        "value": round(sustained_ms, 3),
-        "unit": "ms/request",
-        # same CPU batch-1 denominator: the pipelined server's amortized
-        # per-request latency vs the reference's synchronous NumPy serve
-        "vs_baseline": round(latency_baseline / sustained_ms, 2),
-        # the headline value micro-batches 8 queued uploads per dispatch
-        # (serve.PipelinedServer(batch=8), r4); no_microbatch_ms is the same
-        # run at batch=1 — the r3-definition number — whose floor is the
-        # tunnel's ~1 ms per-message h2d cost
-        "microbatch": 8,
-        "no_microbatch_ms": round(sustained_nobatch_ms, 3),
-    })
+        (p50, on_device_ms, sustained_ms, transport_ms,
+         payload_bytes, sustained_nobatch_ms) = measure_serving_latency(
+            latency_calls)
+        # The metric VALUE is the on-device batch-1 latency: in this harness the
+        # synchronous round trip is dominated by the host<->device tunnel (~30 ms
+        # for a TRIVIAL jitted op — sync_p50_ms/transport_ms below), which
+        # measures the environment, not the framework.  The pipelined sustained
+        # metric is the end-to-end number that amortizes the tunnel away.
+        emit({
+            "metric": "trimodal_serve_batch1_on_device_ms",
+            "value": round(on_device_ms, 3),
+            "unit": "ms",
+            "vs_baseline": round(latency_baseline / on_device_ms, 2),
+            "sync_p50_ms": round(p50, 3),  # full round trip incl. tunnel
+            "transport_ms": round(transport_ms, 3),  # trivial-op round trip
+            "payload_bytes": payload_bytes,
+        })
+        emit({
+            "metric": "trimodal_serve_batch1_sustained_ms",
+            "value": round(sustained_ms, 3),
+            "unit": "ms/request",
+            # same CPU batch-1 denominator: the pipelined server's amortized
+            # per-request latency vs the reference's synchronous NumPy serve
+            "vs_baseline": round(latency_baseline / sustained_ms, 2),
+            # the headline value micro-batches 8 queued uploads per dispatch
+            # (serve.PipelinedServer(batch=8), r4); no_microbatch_ms is the same
+            # run at batch=1 — the r3-definition number — whose floor is the
+            # tunnel's ~1 ms per-message h2d cost
+            "microbatch": 8,
+            "no_microbatch_ms": round(sustained_nobatch_ms, 3),
+        })
 
-    best, fwd_flops, fwd_b = 0.0, None, 0
-    for b in batches:
-        tput, flops = measure_tpu(b, iters)
-        if tput > best:
-            best, fwd_flops, fwd_b = tput, flops, b
+        best, fwd_flops, fwd_b = 0.0, None, 0
+        for b in batches:
+            tput, flops = measure_tpu(b, iters)
+            if tput > best:
+                best, fwd_flops, fwd_b = tput, flops, b
 
-    # HEADLINE metric: keep as the final line
-    lines.append({
-        "metric": "trimodal_fwd_utt_per_sec_per_chip",
-        "value": round(best, 2),
-        "unit": "utterances/sec/chip",
-        "vs_baseline": round(best / baseline["utt_per_sec"], 2),
-        **_mfu_fields(fwd_flops, fwd_b, best, ceiling),
-    })
+        # HEADLINE metric: keep as the final line
+        lines.append({
+            "metric": "trimodal_fwd_utt_per_sec_per_chip",
+            "value": round(best, 2),
+            "unit": "utterances/sec/chip",
+            "vs_baseline": round(best / baseline["utt_per_sec"], 2),
+            **_mfu_fields(fwd_flops, fwd_b, best, ceiling),
+        })
 
-    for d in lines:
-        print(json.dumps(d), flush=True)
+    finally:
+        for d in lines:
+            print(json.dumps(d), flush=True)
 
 
 if __name__ == "__main__":

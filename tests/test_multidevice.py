@@ -125,6 +125,25 @@ def test_cpu_mesh_ready_requires_cpu_priority():
     assert __graft_entry__._cpu_mesh_ready(8)
 
 
+def test_cpu_mesh_env_replaces_stale_device_count():
+    """The shared child-provisioning helper (utils/cpu_mesh.py — used by the
+    dryrun re-exec, the multihost worker launcher, and scaling_pins) must
+    REPLACE any pre-existing host-device-count flag (XLA takes the first
+    occurrence) and force the cpu platform, without clobbering other flags."""
+    from ip_avsr_tpu.utils import cpu_mesh
+
+    base = {"XLA_FLAGS": "--xla_foo --xla_force_host_platform_device_count=2",
+            "JAX_PLATFORMS": "axon,cpu", "KEEP": "x"}
+    env = cpu_mesh.cpu_mesh_env(8, base_env=base, CHILD_MARK="1")
+    assert env["XLA_FLAGS"] == \
+        "--xla_foo --xla_force_host_platform_device_count=8"
+    assert env["JAX_PLATFORMS"] == "cpu"
+    assert env["KEEP"] == "x" and env["CHILD_MARK"] == "1"
+    assert base["JAX_PLATFORMS"] == "axon,cpu"  # input not mutated
+    # the preamble must set the config BEFORE anything else imports jax
+    assert cpu_mesh.CPU_PREAMBLE.startswith("import jax; jax.config.update")
+
+
 def test_dryrun_falls_back_to_child_on_platform_mismatch(monkeypatch):
     """Belt and braces: even if the config check passes, a live backend that
     doesn't actually expose n CPU devices (plugin platform claimed the

@@ -26,15 +26,19 @@ def flagship_tiny():
     return cfg, params, B, T
 
 
-def test_dp_train_step_is_one_allreduce(flagship_tiny):
-    """Data-parallel training must cost exactly ONE (fused) gradient
-    all-reduce per step and must NOT all-gather activations or residuals
-    across the mesh — the whole point of dp."""
+def test_dp_train_step_is_two_allreduces(flagship_tiny):
+    """Data-parallel training must cost exactly TWO all-reduces per step —
+    the single FUSED tuple-shaped gradient all-reduce plus the scalar loss
+    reduction — and must NOT all-gather activations or residuals across the
+    mesh, the whole point of dp.  (Counting the fused tuple collective
+    requires the tuple-aware regex: the r5 review found the older
+    one-token-after-'=' pattern saw only the scalar loss all-reduce and
+    missed the gradient one entirely.)"""
     cfg, params, B, T = flagship_tiny
     counts1, mem1 = scaling_pins.pin_train_dp(cfg, params, 1, B, T)
     counts8, mem8 = scaling_pins.pin_train_dp(cfg, params, 8, B, T)
     assert not any(counts1.values()), counts1  # single device: no collectives
-    assert counts8["all-reduce"] == 1, counts8
+    assert counts8["all-reduce"] == 2, counts8  # fused grads + scalar loss
     assert counts8["all-gather"] == 0, counts8  # the r5 time-major-flatten fix
     assert counts8["all-to-all"] == 0, counts8
     # per-device activation memory must shrink with the mesh (residuals stay
@@ -56,12 +60,15 @@ def test_dp_tp_shards_params(flagship_tiny):
 
 
 def test_dp_sp_halo_and_no_gather(flagship_tiny):
-    """dp x sp: the delta halo exchange shows up as collective-permutes (the
-    all-to-all reshard lowers to permutes on this backend); the backward must
-    not all-gather the time-sharded stacks."""
+    """dp x sp: the delta halo exchange shows up as collective-permutes, the
+    time->batch reshard before the recurrent head as all-to-alls (visible
+    once the tuple-aware count landed; the pre-r5 regex reported 0 and the
+    old docstring wrongly claimed the reshard lowered to permutes); the
+    backward must not all-gather the time-sharded stacks."""
     cfg, params, B, T = flagship_tiny
     counts, mem = scaling_pins.pin_train_sp(cfg, params, 8, B, T)
     assert counts["collective-permute"] >= 2, counts  # fwd+bwd halo at least
+    assert counts["all-to-all"] >= 2, counts  # fwd+bwd reshard at least
     assert counts["all-gather"] == 0, counts
     assert counts["all-reduce"] >= 1, counts  # grad reduce
 
