@@ -557,6 +557,83 @@ def measure_convae_pretrain(batch=256, iters=20, device=None):
     return batch * iters / dt, per_example
 
 
+def measure_convae_pretrain_torch_cpu(batch=128, iters=10):
+    """The same conv-AE adadelta step on torch-CPU (MKL/oneDNN convs).
+
+    Exists because XLA:CPU's transposed-convolution lowering is ~40-80x
+    slower than torch's on this model (measured r5: ~1-2 ex/s vs ~80+
+    ex/s), so the "identical XLA:CPU step" denominator used for every
+    other metric would inflate the conv-AE vs_baseline into the tens of
+    thousands.  The published baseline takes the FASTER of the two CPU
+    implementations (_measure_convae_cpu_fair) — the conservative,
+    strongest-reasonable-CPU comparison.  Same op mix/shapes as
+    models/convae.py (modelzoo/avletters_convae.py:33-69): 3 valid convs
+    with ceil max-pools, 3000->50 bottleneck, mirrored upsample+deconv
+    decoder, adadelta(rho=0.8) on mean squared error."""
+    import torch
+
+    class _AE(torch.nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.c1 = torch.nn.Conv2d(1, 100, 5)
+            self.c3 = torch.nn.Conv2d(100, 150, 5)
+            self.c5 = torch.nn.Conv2d(150, 200, 3)
+            self.d7 = torch.nn.Linear(200 * 3 * 5, 50)
+            self.d9 = torch.nn.Linear(50, 200 * 3 * 5)
+            self.t1 = torch.nn.ConvTranspose2d(200, 150, 3)
+            self.t2 = torch.nn.ConvTranspose2d(150, 100, 5)
+            self.t3 = torch.nn.ConvTranspose2d(100, 1, 5)
+
+        def forward(self, x):
+            f = torch.nn.functional
+            h = f.max_pool2d(torch.tanh(self.c1(x)), 2, ceil_mode=True)
+            h = f.max_pool2d(torch.tanh(self.c3(h)), 2, ceil_mode=True)
+            h = torch.tanh(self.c5(h))
+            z = self.d7(h.reshape(x.shape[0], -1))
+            h = torch.tanh(self.d9(z)).reshape(x.shape[0], 200, 3, 5)
+            h = f.interpolate(torch.tanh(self.t1(h)),
+                              scale_factor=2)[:, :, :9, :14]
+            h = f.interpolate(torch.tanh(self.t2(h)),
+                              scale_factor=2)[:, :, :26, :36]
+            return self.t3(h)
+
+    model = _AE()
+    opt = torch.optim.Adadelta(model.parameters(), rho=0.8)
+    x = torch.from_numpy(np.random.RandomState(0).rand(
+        batch, 1, 30, 40).astype(np.float32))
+
+    def step():
+        opt.zero_grad()
+        loss = ((model(x) - x) ** 2).mean()
+        loss.backward()
+        opt.step()
+
+    step()
+    step()  # warmup
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        step()
+    dt = time.perf_counter() - t0
+    return batch * iters / dt
+
+
+def _measure_convae_cpu_fair():
+    """CPU conv-AE baseline = the faster of XLA:CPU and torch-CPU."""
+    import jax
+
+    xla = measure_convae_pretrain(batch=128, iters=2,
+                                  device=jax.devices("cpu")[0])[0]
+    try:
+        tch = measure_convae_pretrain_torch_cpu()
+    except Exception as e:  # torch missing/broken: fall back to XLA:CPU
+        print(f"bench: torch-cpu convae baseline unavailable ({e}); "
+              "using XLA:CPU", file=sys.stderr)
+        tch = 0.0
+    impl = "torch-cpu" if tch > xla else "xla-cpu"
+    return {"ex_per_sec": max(xla, tch), "impl": impl,
+            "xla_cpu_ex_per_sec": xla, "torch_cpu_ex_per_sec": tch}
+
+
 def measure_serving_latency(n_calls=50, matmul_dtype="bfloat16"):
     """Batch-1 p50 latency (ms) through the raw-pixels->scores server.
 
@@ -867,10 +944,7 @@ def main():
             **_mfu_fields(rbm_flops, 1, rbm_tput, ceiling),
         })
 
-        convae_baseline = cached("convae_cpu", lambda: {
-            "ex_per_sec": measure_convae_pretrain(
-                batch=128, iters=2,
-                device=__import__("jax").devices("cpu")[0])[0]})
+        convae_baseline = cached("convae_cpu_fair", _measure_convae_cpu_fair)
         cae_b, cae_iters = (128, 10) if args.quick else (256, 30)
         cae_tput, cae_flops = measure_convae_pretrain(batch=cae_b,
                                                       iters=cae_iters)
@@ -879,6 +953,7 @@ def main():
             "value": round(cae_tput, 2),
             "unit": "examples/sec/chip",
             "vs_baseline": round(cae_tput / convae_baseline["ex_per_sec"], 2),
+            "baseline_impl": convae_baseline.get("impl"),
             **_mfu_fields(cae_flops, 1, cae_tput, ceiling),
         })
 
