@@ -34,6 +34,7 @@ from __future__ import annotations
 import argparse
 import json
 import os
+import signal
 import sys
 import time
 
@@ -566,10 +567,16 @@ def measure_convae_pretrain_torch_cpu(batch=128, iters=10):
     other metric would inflate the conv-AE vs_baseline into the tens of
     thousands.  The published baseline takes the FASTER of the two CPU
     implementations (_measure_convae_cpu_fair) — the conservative,
-    strongest-reasonable-CPU comparison.  Same op mix/shapes as
+    strongest-reasonable-CPU comparison.  Same layer stack and shapes as
     models/convae.py (modelzoo/avletters_convae.py:33-69): 3 valid convs
-    with ceil max-pools, 3000->50 bottleneck, mirrored upsample+deconv
-    decoder, adadelta(rho=0.8) on mean squared error."""
+    with max-pools (second padded on H), 3000->500->50 bottleneck,
+    mirrored 50->500->3000 + full-deconv/upscale decoder operating on the
+    UNCROPPED maps (crop_h=1 applied once at the end, like _deconv),
+    ScaledTanh(0.5, 2.4) activations, Adadelta(lr=0.8, rho=0.95, eps=1e-6)
+    on mean squared error — the same hyperparameters opt_lib.adadelta(0.8)
+    resolves to on the JAX side.  The only difference is weight tying
+    (the JAX decoder reuses encoder weights): the matmul/conv count is
+    identical, tying only changes where gradients accumulate."""
     import torch
 
     class _AE(torch.nn.Module):
@@ -578,27 +585,36 @@ def measure_convae_pretrain_torch_cpu(batch=128, iters=10):
             self.c1 = torch.nn.Conv2d(1, 100, 5)
             self.c3 = torch.nn.Conv2d(100, 150, 5)
             self.c5 = torch.nn.Conv2d(150, 200, 3)
-            self.d7 = torch.nn.Linear(200 * 3 * 5, 50)
-            self.d9 = torch.nn.Linear(50, 200 * 3 * 5)
+            self.d7 = torch.nn.Linear(200 * 3 * 5, 500)
+            self.bott = torch.nn.Linear(500, 50)
+            self.d8 = torch.nn.Linear(50, 500)
+            self.d9 = torch.nn.Linear(500, 200 * 3 * 5)
             self.t1 = torch.nn.ConvTranspose2d(200, 150, 3)
             self.t2 = torch.nn.ConvTranspose2d(150, 100, 5)
             self.t3 = torch.nn.ConvTranspose2d(100, 1, 5)
 
+        @staticmethod
+        def act(x):  # ScaledTanh(0.5, 2.4), models/convae.py
+            return 2.4 * torch.tanh(0.5 * x)
+
         def forward(self, x):
             f = torch.nn.functional
-            h = f.max_pool2d(torch.tanh(self.c1(x)), 2, ceil_mode=True)
-            h = f.max_pool2d(torch.tanh(self.c3(h)), 2, ceil_mode=True)
-            h = torch.tanh(self.c5(h))
-            z = self.d7(h.reshape(x.shape[0], -1))
-            h = torch.tanh(self.d9(z)).reshape(x.shape[0], 200, 3, 5)
-            h = f.interpolate(torch.tanh(self.t1(h)),
-                              scale_factor=2)[:, :, :9, :14]
-            h = f.interpolate(torch.tanh(self.t2(h)),
-                              scale_factor=2)[:, :, :26, :36]
-            return self.t3(h)
+            B = x.shape[0]
+            h = f.max_pool2d(self.act(self.c1(x)), 2)        # 26x36 -> 13x18
+            h = f.max_pool2d(self.act(self.c3(h)), 2,
+                             padding=(1, 0))                 # 9x14 -> 5x7
+            h = self.act(self.c5(h))                         # 3x5
+            h = self.act(self.d7(h.reshape(B, -1)))          # 3000 -> 500
+            z = self.bott(h)                                 # linear, 500 -> 50
+            h = self.d8(z)                                   # linear, 50 -> 500
+            h = self.act(self.d9(h)).reshape(B, 200, 3, 5)   # 500 -> 3000
+            h = f.interpolate(self.act(self.t1(h)), scale_factor=2)  # 5x7 -> 10x14
+            h = f.interpolate(self.act(self.t2(h)), scale_factor=2)  # 14x18 -> 28x36
+            h = self.act(self.t3(h))                         # 32x40
+            return h[:, :, 1:-1, :]                          # crop_h=1 -> 30x40
 
     model = _AE()
-    opt = torch.optim.Adadelta(model.parameters(), rho=0.8)
+    opt = torch.optim.Adadelta(model.parameters(), lr=0.8, rho=0.95, eps=1e-6)
     x = torch.from_numpy(np.random.RandomState(0).rand(
         batch, 1, 30, 40).astype(np.float32))
 
@@ -893,13 +909,26 @@ def main():
     # metric line out of the captured window.  The flush lives in a
     # try/finally so a failure in any later measurement still reports every
     # metric already taken (r5 review: one failing metric must truncate the
-    # report, not destroy it).
+    # report, not destroy it).  Two further hard-kill protections (r5
+    # review #2): every metric is ALSO streamed to stderr as a full
+    # "bench-partial:" JSON line the moment it is measured (so a SIGKILL
+    # mid-later-measurement still leaves every earlier metric in the log),
+    # and SIGTERM flushes the buffered block before exiting.
     lines = []
+
+    def flush_lines():
+        while lines:  # pop so a SIGTERM flush + finally can't double-print
+            print(json.dumps(lines.pop(0)), flush=True)
+
+    def _on_term(signum, _frame):
+        flush_lines()
+        sys.exit(128 + signum)
+
+    signal.signal(signal.SIGTERM, _on_term)
 
     def emit(d):
         lines.append(d)
-        print(f"bench: measured {d['metric']} = {d['value']} {d['unit']}",
-              file=sys.stderr, flush=True)
+        print("bench-partial: " + json.dumps(d), file=sys.stderr, flush=True)
 
     try:
         best_train, train_flops, train_b = 0.0, None, 0
@@ -944,7 +973,9 @@ def main():
             **_mfu_fields(rbm_flops, 1, rbm_tput, ceiling),
         })
 
-        convae_baseline = cached("convae_cpu_fair", _measure_convae_cpu_fair)
+        # v2: torch baseline corrected to the exact JAX layer stack +
+        # Adadelta(lr=0.8, rho=0.95) (r5 review) — new key forces remeasure
+        convae_baseline = cached("convae_cpu_fair_v2", _measure_convae_cpu_fair)
         cae_b, cae_iters = (128, 10) if args.quick else (256, 30)
         cae_tput, cae_flops = measure_convae_pretrain(batch=cae_b,
                                                       iters=cae_iters)
@@ -995,8 +1026,8 @@ def main():
             if tput > best:
                 best, fwd_flops, fwd_b = tput, flops, b
 
-        # HEADLINE metric: keep as the final line
-        lines.append({
+        # HEADLINE metric: measured last, so emitted last
+        emit({
             "metric": "trimodal_fwd_utt_per_sec_per_chip",
             "value": round(best, 2),
             "unit": "utterances/sec/chip",
@@ -1005,8 +1036,7 @@ def main():
         })
 
     finally:
-        for d in lines:
-            print(json.dumps(d), flush=True)
+        flush_lines()
 
 
 if __name__ == "__main__":

@@ -66,10 +66,13 @@ def main(argv=None):
     use_adascale = str(model_cfg_d.get("use_adascale", "")).lower() in ("1", "true", "yes")
     windowsize = int(train_cfg.get("windowsize", 4 if synth else 9))
     # reference schedule: 10 epochs x 120 batches x batchsize 10 (:402-405)
-    num_epoch = args.num_epoch or int(train_cfg.get("num_epoch", 10))
+    # `is None` (not `or`): --num_epoch 0 is a valid eval-only override
+    num_epoch = (int(train_cfg.get("num_epoch", 10))
+                 if args.num_epoch is None else args.num_epoch)
     epochsize = int(train_cfg.get("epochsize", 6 if synth else 120))
     batchsize = int(train_cfg.get("batchsize", 10))
-    learning_rate = args.learning_rate or float(train_cfg.get("learning_rate", 1.0))
+    learning_rate = (float(train_cfg.get("learning_rate", 1.0))
+                     if args.learning_rate is None else args.learning_rate)
     decay_rate = float(train_cfg.get("decay_rate", 0.0))
     decay_start = int(train_cfg["decay_start"]) if "decay_start" in train_cfg else None
     validation_window = int(train_cfg.get("validation_window", 4))  # :409

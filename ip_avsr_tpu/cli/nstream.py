@@ -253,13 +253,18 @@ def _train_and_report(options, clf, tc, stream_cfgs,
         model_cfg = adenet.AdeNetConfig(**{**model_cfg.__dict__,
                                            "matmul_dtype": tc.matmul_dtype})
 
+    # `is None` (not `or`): 0 is a legitimate explicit override
+    # (--num_epoch 0 = eval-only smoke run)
     topts = TrainOptions(
-        num_epoch=options.num_epoch or tc.num_epoch,
+        num_epoch=tc.num_epoch if options.num_epoch is None else options.num_epoch,
         epochsize=tc.epochsize,
         batchsize=tc.batchsize,
-        learning_rate=options.learning_rate or tc.learning_rate,
+        learning_rate=(tc.learning_rate if options.learning_rate is None
+                       else options.learning_rate),
         optimizer=tc.optimizer,
-        validation_window=options.validation_window or tc.validation_window,
+        validation_window=(tc.validation_window
+                           if options.validation_window is None
+                           else options.validation_window),
         window=clf.windowsize,
         decay_rate=tc.decay_rate,
         decay_start=tc.decay_start,

@@ -205,7 +205,7 @@ def run(argv=None):
     from ip_avsr_tpu.cli import nstream
 
     run_argv = ["--config", resolved, "--split", args.split]
-    if args.num_epoch:
+    if args.num_epoch is not None:  # 0 is a valid smoke value
         run_argv += ["--num_epoch", str(args.num_epoch)]
     result = nstream.main(run_argv)
 

@@ -204,13 +204,17 @@ def draw_to_file(config, filename: str, name: str = "adenet"):
     except Exception:
         pass
     if filename.endswith(".png"):
-        # no pydot/graphviz: the matplotlib renderer still makes a real PNG
+        # no pydot/graphviz: the matplotlib renderer still makes a real PNG.
+        # Render BEFORE opening so a renderer failure can't truncate an
+        # existing file / leave a 0-byte .png next to the .dot fallback.
         try:
-            with open(filename, "wb") as f:
-                f.write(render_png_bytes(config, name))
-            return filename
+            png = render_png_bytes(config, name)
         except Exception:
-            pass
+            png = None
+        if png is not None:
+            with open(filename, "wb") as f:
+                f.write(png)
+            return filename
     fallback = filename.rsplit(".", 1)[0] + ".dot"
     with open(fallback, "w") as f:
         f.write(dot_src)

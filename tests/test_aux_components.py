@@ -206,6 +206,24 @@ def test_draw_to_notebook(tmp_path):
         assert f.read(8) == b"\x89PNG\r\n\x1a\n"
 
 
+def test_draw_to_file_no_zero_byte_png_on_renderer_failure(tmp_path, monkeypatch):
+    """r5 review: when the PNG renderer raises, draw_to_file must fall back
+    to .dot WITHOUT leaving a truncated/0-byte .png behind (the old code
+    opened the file before rendering)."""
+    from ip_avsr_tpu.models import zoo
+
+    cfg = zoo.adenet_v3(12, 6, 12, lstm_size=4, window=3, output_classes=5)
+
+    def boom(*_a, **_k):
+        raise ImportError("no matplotlib")
+
+    monkeypatch.setattr(draw_net, "render_png_bytes", boom)
+    target = tmp_path / "net.png"
+    out = draw_net.draw_to_file(cfg, str(target))
+    assert out.endswith(".dot") and os.path.exists(out)
+    assert not target.exists(), "renderer failure must not create net.png"
+
+
 def test_plotting_visualize_family(tmp_path):
     """visualize_images/sequence/layer/activations + show_image
     (utils/plotting_utils.py:163-275), headless to PNG."""

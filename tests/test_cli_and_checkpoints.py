@@ -52,6 +52,18 @@ def test_nstream_train_save_extract_demo(tmp_path, capsys):
     assert preds(capsys.readouterr().out) == preds(out)
 
 
+def test_nstream_num_epoch_zero_is_eval_only():
+    """r5 review: an explicit --num_epoch 0 must be honored (eval-only smoke
+    run), not dropped by a falsy-`or` fallback onto the config's schedule —
+    the bug chained through parity_check AND nstream."""
+    from ip_avsr_tpu.cli import nstream
+
+    res = nstream.main(["--config", "configs/synthetic_1stream.ini",
+                        "--synthetic", "24", "--num_epoch", "0"])
+    assert res.epochs_run == 0
+    assert len(res.cost_train) == 0
+
+
 def test_pretrained_encoder_feeds_nstream(tmp_path):
     from ip_avsr_tpu.cli import pretrain_dbn
 

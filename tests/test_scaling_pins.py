@@ -26,7 +26,25 @@ def flagship_tiny():
     return cfg, params, B, T
 
 
-def test_dp_train_step_is_two_allreduces(flagship_tiny):
+@pytest.fixture(scope="module")
+def dp8_pin(flagship_tiny):
+    """The plain dp n=8 train-step pin, shared by three tests (one SPMD
+    compile instead of three)."""
+    cfg, params, B, T = flagship_tiny
+    return scaling_pins.pin_train_dp(cfg, params, 8, B, T)
+
+
+def test_update_rejects_tiny(monkeypatch, capsys):
+    """r5 review: --tiny --update must refuse to splice tiny numbers over
+    the committed full-dims SCALING.md table."""
+    monkeypatch.setattr(sys, "argv", ["scaling_pins.py", "--tiny", "--update"])
+    with pytest.raises(SystemExit) as exc:
+        scaling_pins.main()
+    assert exc.value.code == 2
+    assert "--update requires full dims" in capsys.readouterr().err
+
+
+def test_dp_train_step_is_two_allreduces(flagship_tiny, dp8_pin):
     """Data-parallel training must cost exactly TWO all-reduces per step —
     the single FUSED tuple-shaped gradient all-reduce plus the scalar loss
     reduction — and must NOT all-gather activations or residuals across the
@@ -36,7 +54,7 @@ def test_dp_train_step_is_two_allreduces(flagship_tiny):
     missed the gradient one entirely.)"""
     cfg, params, B, T = flagship_tiny
     counts1, mem1 = scaling_pins.pin_train_dp(cfg, params, 1, B, T)
-    counts8, mem8 = scaling_pins.pin_train_dp(cfg, params, 8, B, T)
+    counts8, mem8 = dp8_pin
     assert not any(counts1.values()), counts1  # single device: no collectives
     assert counts8["all-reduce"] == 2, counts8  # fused grads + scalar loss
     assert counts8["all-gather"] == 0, counts8  # the r5 time-major-flatten fix
@@ -47,13 +65,13 @@ def test_dp_train_step_is_two_allreduces(flagship_tiny):
     assert mem8["param_bytes"] == mem1["param_bytes"]
 
 
-def test_dp_tp_shards_params(flagship_tiny):
+def test_dp_tp_shards_params(flagship_tiny, dp8_pin):
     """dp x tp: encoder weights sharded on 'model' -> per-device param+opt
     bytes strictly below the replicated dp figure; activation gathers where
     a column-sharded layer feeds a full-width consumer are expected."""
     cfg, params, B, T = flagship_tiny
     counts, mem = scaling_pins.pin_train_dp(cfg, params, 8, B, T, tp=True)
-    _, mem_dp = scaling_pins.pin_train_dp(cfg, params, 8, B, T)
+    _, mem_dp = dp8_pin
     assert counts["all-reduce"] >= 1, counts
     assert mem["param_bytes"] < mem_dp["param_bytes"], (mem, mem_dp)
     assert mem["opt_bytes"] < mem_dp["opt_bytes"], (mem, mem_dp)
@@ -84,7 +102,7 @@ def test_serve_mesh_no_collectives(flagship_tiny):
     assert mem8["temp_bytes"] < mem2["temp_bytes"], (mem2, mem8)
 
 
-def test_dp_zero1_shards_opt_state(flagship_tiny):
+def test_dp_zero1_shards_opt_state(flagship_tiny, dp8_pin):
     """dp + ZeRO-1: per-device optimizer bytes drop vs replicated dp (the
     moments shard over 'data'), parameters stay replicated, and no
     activation gathers appear (reduce-scatter/all-gather of the UPDATE is
@@ -92,7 +110,7 @@ def test_dp_zero1_shards_opt_state(flagship_tiny):
     not grow)."""
     cfg, params, B, T = flagship_tiny
     counts, mem = scaling_pins.pin_train_dp(cfg, params, 8, B, T, zero1=True)
-    _, mem_dp = scaling_pins.pin_train_dp(cfg, params, 8, B, T)
+    _, mem_dp = dp8_pin
     assert mem["param_bytes"] == mem_dp["param_bytes"]  # params replicated
     assert mem["opt_bytes"] < mem_dp["opt_bytes"] / 2, (mem, mem_dp)
     assert counts["all-to-all"] == 0, counts
