@@ -36,6 +36,7 @@ import json
 import os
 import signal
 import sys
+import threading
 import time
 
 # Silence XLA's C++ log spam (e.g. cpu_aot_loader machine-feature warnings
@@ -835,6 +836,9 @@ def main():
     ap.add_argument("--quick", action="store_true", help="small sizes / few iters")
     ap.add_argument("--batch", type=int, default=0, help="override batch size")
     ap.add_argument("--refresh-baseline", action="store_true")
+    ap.add_argument("--watchdog-mins", type=float, default=20.0,
+                    help="abort with a partial report if no metric completes "
+                         "for this long (wedged remote compile)")
     args = ap.parse_args()
 
     _probe_backend()
@@ -926,9 +930,31 @@ def main():
 
     signal.signal(signal.SIGTERM, _on_term)
 
+    last_progress = [time.time()]
+
     def emit(d):
         lines.append(d)
+        last_progress[0] = time.time()
         print("bench-partial: " + json.dumps(d), file=sys.stderr, flush=True)
+
+    # Stall watchdog: the remote compile helper can occasionally hang a
+    # request indefinitely (observed live in r5: the first train-metric
+    # compile sat >9 min producing nothing).  If no metric completes for
+    # --watchdog-mins, flush whatever was measured and exit 3 — a
+    # truncated report beats a silent hang that ends in SIGKILL with an
+    # empty stdout.  The deadline is per-METRIC (reset by emit), sized for
+    # the slowest legitimate measurement (~2 compiles + iterations).
+    def _watch():
+        while True:
+            time.sleep(15)
+            if time.time() - last_progress[0] > args.watchdog_mins * 60:
+                print(f"bench: no metric completed in {args.watchdog_mins} "
+                      "min — assuming a wedged remote compile; flushing "
+                      "partial report", file=sys.stderr, flush=True)
+                flush_lines()
+                os._exit(3)
+
+    threading.Thread(target=_watch, daemon=True).start()
 
     try:
         best_train, train_flops, train_b = 0.0, None, 0
