@@ -1,4 +1,4 @@
-"""Independent-implementation agreement for the optimizers.
+"""Third-party implementation agreement: optimizers vs optax, LSTM vs flax.
 
 The model zoo is cross-checked against an independent NumPy implementation
 (reference_impl.py); this file closes the same loop for the update rules in
@@ -96,6 +96,46 @@ def test_adam_trajectory_matches_optax_small_eps():
     ref = _run_optax(optax.adam(0.02, b1=0.9, b2=0.999, eps=1e-12,
                                 eps_root=0.0), params, 25)
     _assert_trees_close(ours, ref, atol=1e-5)
+
+
+def test_lstm_forward_matches_flax_lstmcell():
+    """Third-party recurrence agreement: our masked LSTM (ops/lstm.py,
+    Lasagne gate order i,f,c,o with a single stacked (D,4H)/(H,4H) layout)
+    against flax.linen.LSTMCell with the same weights re-packed into its
+    per-gate ii/if/ig/io + hi/hf/hg/ho kernels (bias carried on the h-side
+    denses, matching flax's convention).  Full mask, zero initial state —
+    flax has neither masking nor learned state, so those stay out of scope
+    here (they are pinned against reference_impl elsewhere)."""
+    import flax.linen as nn
+
+    from ip_avsr_tpu.ops import lstm as lstm_lib
+
+    D, H, B, T = 3, 5, 4, 7
+    rng = np.random.RandomState(0)
+    params = lstm_lib.init_lstm_params(jax.random.PRNGKey(1), D, H)
+    params = dict(params,
+                  cell_init=jnp.zeros((1, H)), hid_init=jnp.zeros((1, H)))
+    x = jnp.asarray(rng.randn(B, T, D).astype(np.float32))
+
+    ours = lstm_lib.lstm_forward(params, x, mask=jnp.ones((B, T)))
+
+    w_in, w_hid, b = params["w_in"], params["w_hid"], params["b"]
+    gates = ["i", "f", "g", "o"]  # flax g == Lasagne cell candidate
+    fparams = {"params": {}}
+    for k, g in enumerate(gates):
+        sl = slice(k * H, (k + 1) * H)
+        fparams["params"][f"i{g}"] = {"kernel": w_in[:, sl]}
+        fparams["params"][f"h{g}"] = {"kernel": w_hid[:, sl], "bias": b[sl]}
+
+    cell = nn.LSTMCell(features=H)
+    carry = (jnp.zeros((B, H)), jnp.zeros((B, H)))
+    outs = []
+    for t in range(T):
+        carry, h = cell.apply(fparams, carry, x[:, t])
+        outs.append(h)
+    ref = jnp.stack(outs, axis=1)
+    np.testing.assert_allclose(np.asarray(ours), np.asarray(ref),
+                               rtol=1e-6, atol=1e-6)
 
 
 def test_adam_vlr_trajectory_matches_optax_multi_transform():
