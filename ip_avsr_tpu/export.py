@@ -85,6 +85,18 @@ def _input_specs(config: adenet.AdeNetConfig, batch, time):
     return streams, mask
 
 
+def resolved_platforms(platforms, batch, time):
+    """The platform list :func:`export_server` actually serializes for —
+    the SINGLE source of truth, also consulted by :func:`save_artifact`
+    for meta.json (r5 review: the default was re-derived there, so a
+    future change to this rule could have made meta disagree with the
+    blob).  Symbolic shapes default to cross-platform ("cpu", "tpu");
+    pinned shapes default to the native platform (None)."""
+    if platforms is not None:
+        return list(platforms)
+    return ["cpu", "tpu"] if (batch is None or time is None) else None
+
+
 def export_server(
     params: dict,
     config: adenet.AdeNetConfig,
@@ -124,8 +136,7 @@ def export_server(
     else:
         serve = make_server(params, config, vote=vote)
     symbolic = batch is None or time is None
-    if platforms is None:
-        platforms = ("cpu", "tpu") if symbolic else None
+    platforms = resolved_platforms(platforms, batch, time)
 
     dims, constraints = [], []
     if batch is None:
@@ -193,7 +204,6 @@ def save_artifact(
     blob = export_server(params, config, vote=vote, batch=batch, time=time,
                          platforms=platforms, trimodal=trimodal,
                          min_time=min_time, weights_dtype=weights_dtype)
-    symbolic = batch is None or time is None
     if trimodal is not None:
         hw = int(trimodal["image_shape"][0]) * int(trimodal["image_shape"][1])
         input_kind, stream_dims = "raw", [hw]
@@ -212,8 +222,7 @@ def save_artifact(
             "input": input_kind,
             "batch": batch,
             "time": time,
-            "platforms": (list(platforms) if platforms
-                          else (["cpu", "tpu"] if symbolic else None)),
+            "platforms": resolved_platforms(platforms, batch, time),
             "stream_dims": stream_dims,
             "output_classes": config.output_classes,
             "weights_dtype": (str(jnp.dtype(weights_dtype))

@@ -312,10 +312,25 @@ def head_forward(params, config: AdeNetConfig, stream_feats, mask, train,
 
     def run_lstm(p, feats, m, backwards=False):
         if config.lstm_impl == "pallas" and not train:
-            from ip_avsr_tpu.ops.pallas import lstm_kernel
+            from ip_avsr_tpu.ops.pallas import dispatch, lstm_kernel
 
-            return lstm_kernel.lstm_forward_pallas(p, feats, m, backwards=backwards,
-                                                   matmul_dtype=mmdtype)
+            # An explicit lstm_impl="pallas" must still respect the
+            # environment gates the auto heuristics use: under
+            # dispatch.disabled() (export traces, non-default-device
+            # compiles) or a multi-device GSPMD trace, an opaque
+            # pallas_call cannot lower/partition — fall back to the XLA
+            # scan instead of baking in a kernel that fails downstream
+            # (r5 review: the forced path bypassed every gate).
+            if dispatch.auto_dispatch_ok():
+                return lstm_kernel.lstm_forward_pallas(
+                    p, feats, m, backwards=backwards, matmul_dtype=mmdtype)
+            import warnings
+
+            warnings.warn(
+                "lstm_impl='pallas' requested but the trace context cannot "
+                "take a Pallas kernel (dispatch disabled, non-TPU backend, "
+                "or multi-device global shapes); using the XLA scan",
+                stacklevel=2)
         return lstm_ops.lstm_forward(p, feats, m, backwards=backwards,
                                      matmul_dtype=mmdtype,
                                      remat=config.lstm_remat,

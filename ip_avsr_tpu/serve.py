@@ -297,8 +297,13 @@ def make_bucketed_server(params: dict = None,
     batch_buckets = sorted(set(int(b) for b in batch_buckets))
     time_buckets = sorted(set(int(t) for t in time_buckets))
     # vote inside the bucketed server must be MASKED (padded frames cannot
-    # cast votes, or T-bucket padding would change the scores)
-    inner = serve_fn or make_server(params, config, vote=False)
+    # cast votes, or T-bucket padding would change the scores).  For the
+    # default live model the masked vote fuses INTO the serve program
+    # (make_server(vote=...)) — one device dispatch per request instead of
+    # two with the (bb, tb, C) scores materialized between them (r5
+    # review); the separate vote_fn remains only for caller-supplied
+    # per-step serve_fn programs (deployment artifacts).
+    inner = serve_fn or make_server(params, config, vote=vote)
     if output_classes is not None:
         n_classes = output_classes
     elif config is not None:
@@ -436,14 +441,8 @@ class StreamingSession:
         self._n_streams = len(config.streams)
         self._out_mode = config.output_mode
         self._C = int(config.output_classes)
-        self._state0 = adenet.streaming_init_state(params, config, self._B)
-        self._state = self._state0
-        self._enc = []      # per stream: retained tail of encoded frames
-        self._base = 0      # absolute frame index of _enc[i][:, 0]
-        self._emitted = 0   # frames whose scores have been yielded
-        self._votes = None  # (B, C) int64 running argmax counts
-        self._last_probs = None
-        self._finalized = False
+        self._reset_feed_state(adenet.streaming_init_state(params, config,
+                                                           self._B))
 
         mmdtype = config._matmul_dtype()
 
@@ -488,17 +487,23 @@ class StreamingSession:
         self._n_streams = len(prep)
         self._out_mode = output_mode
         self._C = int(output_classes)
-        self._state0 = state0
-        self._state = state0
-        self._enc = []
-        self._base = 0
-        self._emitted = 0
-        self._votes = None
-        self._last_probs = None
-        self._finalized = False
+        self._reset_feed_state(state0)
         self._prep = list(prep)
         self._advance = advance
         return self
+
+    def _reset_feed_state(self, state0):
+        """The mutable per-utterance state, shared by __init__ and
+        _from_parts so the two construction paths cannot drift (r5
+        review: this block existed as a hand-synced copy)."""
+        self._state0 = state0
+        self._state = state0
+        self._enc = []      # per stream: retained tail of encoded frames
+        self._base = 0      # absolute frame index of _enc[i][:, 0]
+        self._emitted = 0   # frames whose scores have been yielded
+        self._votes = None  # (B, C) int64 running argmax counts
+        self._last_probs = None
+        self._finalized = False
 
     def fresh(self) -> "StreamingSession":
         """A new session sharing this one's COMPILED prep/advance programs
@@ -650,7 +655,13 @@ class StreamingSession:
 
         if self._finalized:
             raise RuntimeError("session is finalized")
-        if not self._enc:
+        # "nothing was fed" must be judged on the ABSOLUTE frame count:
+        # zero-length chunks leave _enc truthy-but-empty (np.argmax(None)
+        # below would then silently return scalar 0 — r5 review), while a
+        # delta-free session legitimately EVICTS every emitted frame, so an
+        # empty _enc alone does not mean no frames existed.
+        total = self._base + (self._enc[0].shape[1] if self._enc else 0)
+        if total == 0:
             raise RuntimeError("no frames were fed")
         tail = list(self._emit(self._base + self._enc[0].shape[1],
                                final=True))

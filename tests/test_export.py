@@ -22,6 +22,49 @@ def _deltanet():
     return cfg, params
 
 
+def test_forced_pallas_config_falls_back_on_ungated_traces(tmp_path):
+    """r5 review: lstm_impl='pallas' bypassed every dispatch gate, so a
+    symbolic export (or a non-TPU / multi-device trace) baked in a Pallas
+    kernel that fails to lower.  The forced path now respects
+    dispatch.auto_dispatch_ok() and falls back to the XLA scan with a
+    warning; the exported artifact must equal the plain-config one."""
+    import dataclasses
+
+    cfg, params = _deltanet()
+    cfg_pallas = dataclasses.replace(cfg, lstm_impl="pallas")
+    path = tmp_path / "m.ipax"
+    with pytest.warns(UserWarning, match="lstm_impl"):
+        export_lib.save_artifact(str(path), params, cfg_pallas)
+    server = export_lib.load_server(str(path))
+
+    rng = np.random.RandomState(0)
+    x = rng.randn(2, 9, 12).astype(np.float32)
+    mask = np.ones((2, 9), np.float32)
+    want = np.asarray(serve_mod.make_server(params, cfg)([x], mask))
+    np.testing.assert_allclose(np.asarray(server([x], mask)), want,
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_meta_platforms_single_source_of_truth(tmp_path):
+    """r5 review: save_artifact re-derived export_server's platform
+    defaulting; both now read resolved_platforms, pinned here."""
+    import json
+    import zipfile
+
+    assert export_lib.resolved_platforms(None, None, None) == ["cpu", "tpu"]
+    assert export_lib.resolved_platforms(None, 2, 8) is None
+    assert export_lib.resolved_platforms(("cpu",), None, 8) == ["cpu"]
+
+    cfg, params = _deltanet()
+    for kw in ({}, {"batch": 2, "time": 8}):
+        path = tmp_path / f"m{len(kw)}.ipax"
+        export_lib.save_artifact(str(path), params, cfg, **kw)
+        with zipfile.ZipFile(path) as z:
+            meta = json.loads(z.read("meta.json"))
+        assert meta["entries"][0]["platforms"] == export_lib.resolved_platforms(
+            None, kw.get("batch"), kw.get("time"))
+
+
 def test_symbolic_artifact_matches_live_server(tmp_path):
     """One artifact with symbolic (batch, time) serves any request size and
     matches make_server exactly on the same platform."""

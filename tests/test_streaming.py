@@ -170,6 +170,18 @@ def test_streaming_api_misuse():
         sess2.feed([x, x])
 
 
+def test_streaming_zero_length_chunks_finalize_raises():
+    """r5 review: a session fed ONLY zero-length chunks must raise at
+    finalize — previously _enc was truthy-but-empty and np.argmax(None)
+    silently returned scalar class 0."""
+    cfg = _streamable_cfg()
+    params = adenet.init_adenet_params(jax.random.PRNGKey(0), cfg)
+    sess = StreamingSession(params, cfg)
+    assert list(sess.feed([np.zeros((1, 0, 12), np.float32)])) == []
+    with pytest.raises(RuntimeError, match="no frames"):
+        sess.finalize()
+
+
 def test_streaming_buffer_is_bounded():
     """Long-running sessions must not accumulate the whole utterance: the
     encoded buffer retains at most the 2W delta context plus the pending
